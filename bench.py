@@ -1,0 +1,88 @@
+"""Benchmark: MLM+ITM pretrain throughput (image-text pairs/sec/chip).
+
+Runs the flagship pretrain train step — BERT-base joint encoder over
+[CLS]+180 image embeds+[SEP]+253 text tokens with ResNet-50@512 visual
+encoder, MLM+ITM losses, AdamW — at the reference's config point
+(batch 36, seq 253+180+3; reference main_origin.py:97-137) on one TPU chip
+with synthetic data, and prints ONE JSON line.
+
+vs_baseline: the reference publishes no throughput numbers
+(BASELINE.md: "published is {}"), so the denominator is a documented
+A100-equivalent estimate: PyTorch-AMP MedViLL-scale pipelines (ResNet-50@512
++ BERT-base MLM+ITM, batch 36) sustain roughly 70 pairs/sec on one A100;
+the BASELINE.json north star asks for >=5x that per v5e chip.
+vs_baseline = measured / 70.0.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_EQUIV_PAIRS_PER_SEC = 70.0
+
+
+def main() -> None:
+    from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
+                                         PretrainConfig)
+    from medvill_tpu.train import optim
+    from medvill_tpu.train.pretrain import init_state, make_train_step
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 36
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    cfg = PretrainConfig(
+        batch_size=batch,
+        bert=BertConfig.base(),
+        image=ImageEncoderConfig(img_size=512, num_image_embeds=180),
+    )
+    tx = optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay)
+    model, state = init_state(cfg, jax.random.PRNGKey(0), tx)
+
+    rng = np.random.default_rng(0)
+    L_txt = cfg.seq_len + 1
+    host_batch = dict(
+        cls_tok=np.full((batch, 1), 101, np.int32),
+        input_txt=rng.integers(0, cfg.bert.vocab_size,
+                               (batch, L_txt)).astype(np.int32),
+        txt_labels=np.where(rng.random((batch, cfg.total_len)) < 0.15,
+                            rng.integers(0, cfg.bert.vocab_size,
+                                         (batch, cfg.total_len)),
+                            -100).astype(np.int32),
+        mask_spec=np.stack([np.full(batch, 2, np.int32),          # BAR
+                            np.full(batch, L_txt, np.int32)], -1),
+        segment=np.ones((batch, L_txt), np.int32),
+        image=rng.standard_normal(
+            (batch, cfg.image.img_size, cfg.image.img_size, 3)
+        ).astype(np.float32),
+        is_aligned=rng.integers(0, 2, (batch,)).astype(np.int32),
+        sep_tok=np.full((batch, 1), 102, np.int32),
+    )
+    dev_batch = jax.tree_util.tree_map(jnp.asarray, host_batch)
+    key = jax.random.PRNGKey(1)
+
+    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
+    # warmup / compile
+    state, m = step(state, dev_batch, key)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, dev_batch, key)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = batch * steps / dt
+    print(json.dumps({
+        "metric": "pretrain_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "image-text pairs/sec/chip",
+        "vs_baseline": round(pairs_per_sec / A100_EQUIV_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""Disease-classification CLI — mirror of the reference MMBT entry point
+(reference: Downstream_task/Classification/mmbt/main.py:23-91,385-403)."""
+from __future__ import annotations
+
+import argparse
+import csv
+import dataclasses
+import os
+
+import jax
+import numpy as np
+
+from medvill_tpu.core.config import (BertConfig, ClassificationConfig,
+                                     ImageEncoderConfig)
+from medvill_tpu.core import checkpoint as ckpt_lib
+from medvill_tpu.core.mesh import make_mesh, replicate, shard_batch
+from medvill_tpu.data.classification import (ClassificationDataset,
+                                             get_labels_and_frequencies,
+                                             pos_weights)
+from medvill_tpu.data.pretrain import BatchLoader
+from medvill_tpu.data.tokenization import BertTokenizer
+from medvill_tpu.train import classify
+from medvill_tpu.train.pretrain import TrainState
+from medvill_tpu.utils.logging import MetricLogger, create_logger
+from medvill_tpu.utils.seed import set_seed
+
+
+def str2bool(v):
+    return str(v).lower() in ("1", "true", "yes")
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--Train_dset_name", type=str, default="Train.jsonl")
+    p.add_argument("--Valid_dset_name", type=str, default="Valid.jsonl")
+    p.add_argument("--vocab_file", type=str, required=True)
+    p.add_argument("--savedir", type=str, default="output_clf")
+    p.add_argument("--loaddir", type=str, default="")
+    p.add_argument("--save_name", type=str, default="clf")
+    p.add_argument("--openi", type=str2bool, default=False)
+    p.add_argument("--batch_sz", type=int, default=56)
+    p.add_argument("--max_epochs", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_factor", type=float, default=0.5)
+    p.add_argument("--lr_patience", type=int, default=2)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--warmup", type=float, default=0.1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--max_seq_len", type=int, default=512)
+    p.add_argument("--num_image_embeds", type=int, default=256)
+    p.add_argument("--img_size", type=int, default=512)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--freeze_img", type=int, default=0)
+    p.add_argument("--freeze_txt", type=int, default=0)
+    p.add_argument("--weight_classes", type=str2bool, default=True)
+    p.add_argument("--drop_img_percent", type=float, default=0.0)
+    p.add_argument("--bert_model", type=str, default="bert-base-scratch")
+    return p
+
+
+def train(args) -> None:
+    set_seed(args.seed)
+    savedir = os.path.join(args.savedir, args.save_name)
+    os.makedirs(savedir, exist_ok=True)
+    logger = create_logger(os.path.join(savedir, "logfile.log"), args)
+    metrics_log = MetricLogger(savedir, project="classification",
+                               config=vars(args))
+
+    tokenizer = BertTokenizer.from_vocab_file(args.vocab_file,
+                                              remap_unused=False)
+    train_path = os.path.join(args.data_path, args.Train_dset_name)
+    valid_path = os.path.join(args.data_path, args.Valid_dset_name)
+    labels, freqs = get_labels_and_frequencies(train_path)
+    cfg = ClassificationConfig(
+        data_path=args.data_path, batch_size=args.batch_sz,
+        max_epochs=args.max_epochs, lr=args.lr, lr_factor=args.lr_factor,
+        lr_patience=args.lr_patience, patience=args.patience,
+        warmup=args.warmup, max_seq_len=args.max_seq_len,
+        num_image_embeds=args.num_image_embeds, img_size=args.img_size,
+        seed=args.seed, freeze_img=args.freeze_img,
+        freeze_txt=args.freeze_txt, weight_classes=args.weight_classes,
+        labels=tuple(labels),
+        image=ImageEncoderConfig(num_image_embeds=args.num_image_embeds,
+                                 img_size=args.img_size,
+                                 encoder="full-fiber"))
+
+    train_ds = ClassificationDataset(
+        train_path, tokenizer, labels, cfg.max_seq_len,
+        cfg.num_image_embeds, cfg.img_size,
+        drop_img_percent=args.drop_img_percent, openi=args.openi)
+    valid_ds = ClassificationDataset(
+        valid_path, tokenizer, labels, cfg.max_seq_len,
+        cfg.num_image_embeds, cfg.img_size, openi=args.openi)
+    train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
+                               seed=cfg.seed)
+    valid_loader = BatchLoader(valid_ds, cfg.batch_size, shuffle=False)
+
+    pw = (pos_weights(freqs, labels, len(train_ds))
+          if cfg.weight_classes else None)
+    t_total = max(1, int(len(train_ds) / cfg.batch_size
+                         / cfg.gradient_accumulation_steps * cfg.max_epochs))
+
+    mesh = make_mesh(cfg.mesh_shape)
+    model = classify.build_model(cfg, len(labels))
+    import jax.numpy as jnp
+    cls_id = tokenizer.vocab["[CLS]"]
+    sep_id = tokenizer.vocab["[SEP]"]
+    L = cfg.max_seq_len - cfg.num_image_embeds
+    dummy = dict(
+        input_txt=jnp.zeros((2, L), jnp.int32),
+        txt_len=jnp.ones((2,), jnp.int32),
+        segment=jnp.ones((2, L), jnp.int32),
+        image=jnp.zeros((2, cfg.img_size, cfg.img_size, 3)))
+    variables = model.init({"params": jax.random.PRNGKey(cfg.seed)},
+                           dummy["input_txt"], dummy["txt_len"],
+                           dummy["segment"], dummy["image"], cls_id, sep_id)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if args.loaddir:
+        epoch = ckpt_lib.latest_epoch(args.loaddir)
+        if epoch is not None:
+            logger.info("loading pretrain weights from %s", args.loaddir)
+            # partial restore: shared encoder/embedding subtrees
+            restored = ckpt_lib.restore(args.loaddir, epoch, None)
+            params = _merge_pretrained(params, restored)
+
+    tx = classify.make_tx(cfg, t_total)
+    state = TrainState(step=jnp.zeros([], jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=tx.init(params))
+    state = replicate(mesh, state)
+    train_step = jax.jit(classify.make_train_step(
+        model, tx, cfg, t_total, pw, cls_id, sep_id))
+    eval_step = jax.jit(classify.make_eval_step(model, cls_id, sep_id))
+
+    sched = classify.PlateauScheduler(cfg.lr_factor, cfg.lr_patience)
+    best_metric, n_no_improve = -np.inf, 0
+    lr_scale = 1.0
+    for epoch in range(cfg.max_epochs):
+        losses = []
+        for batch in train_loader:
+            state, loss = train_step(state, shard_batch(mesh, batch),
+                                     jax.random.PRNGKey(cfg.seed),
+                                     jnp.asarray(lr_scale))
+            losses.append(float(loss))
+        metrics, _, _ = classify.evaluate(eval_step, state, valid_loader)
+        metrics["train_loss"] = float(np.mean(losses))
+        metrics_log.log({k: v for k, v in metrics.items()
+                         if not isinstance(v, dict)}, step=epoch)
+        logger.info("epoch %d: %s", epoch, metrics)
+
+        tuning = metrics["micro_f1"]
+        lr_scale = sched.step(tuning)
+        improved = tuning > best_metric
+        if improved:
+            best_metric, n_no_improve = tuning, 0
+        else:
+            n_no_improve += 1
+
+        # CSV dump (reference: mmbt/main.py:307-317)
+        with open(os.path.join(savedir, f"{args.save_name}.csv"), "w",
+                  newline="") as f:
+            w = csv.writer(f)
+            per_class = metrics["per_class_auroc"]
+            w.writerow(["micro_auc", "macro_auc", "micro_f1", "macro_f1"]
+                       + list(per_class.keys()))
+            w.writerow([metrics["micro_roc_auc"], metrics["macro_roc_auc"],
+                        metrics["micro_f1"], metrics["macro_f1"]]
+                       + list(per_class.values()))
+        ckpt_lib.save(savedir, epoch, jax.device_get(state),
+                      config=vars(args), best=improved)
+        if n_no_improve >= cfg.patience:
+            logger.info("No improvement. Breaking out of loop.")
+            break
+    metrics_log.finish()
+
+
+def _merge_pretrained(params, restored):
+    """Load pretrain weights non-strictly (reference: mmbt/main.py:241-244
+    ``load_state_dict(..., strict=False)``): copy matching subtrees from a
+    pretrain TrainState checkpoint into the classification params."""
+    import flax
+
+    if restored is None:
+        return params
+    src = restored.get("params", restored)
+    if "enc" in src:
+        src = src["enc"]
+    dst = flax.traverse_util.flatten_dict(params)
+    flat_src = flax.traverse_util.flatten_dict(src)
+    merged = dict(dst)
+    for path, leaf in flat_src.items():
+        for prefix in (("enc",),):
+            cand = prefix + path
+            if cand in dst and dst[cand].shape == leaf.shape:
+                merged[cand] = leaf
+    return flax.traverse_util.unflatten_dict(merged)
+
+
+if __name__ == "__main__":
+    train(build_parser().parse_args())

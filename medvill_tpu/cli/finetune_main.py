@@ -1,0 +1,201 @@
+"""Report-generation / VQA finetune CLI — mirror of the reference
+(reference: sc/finetune.py:49-495; DDP/NCCL replaced by a pjit data mesh,
+apex AMP by native bf16, resume-by-scan by orbax latest_epoch)."""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import jax
+import numpy as np
+
+from medvill_tpu.core.config import (BertConfig, FinetuneConfig,
+                                     ImageEncoderConfig)
+from medvill_tpu.core import checkpoint as ckpt_lib
+from medvill_tpu.core.mesh import (make_mesh, multihost_initialize, replicate,
+                                   shard_batch)
+from medvill_tpu.data.pretrain import BatchLoader
+from medvill_tpu.data.seq2seq import Img2TxtDataset
+from medvill_tpu.data.tokenization import BertTokenizer
+from medvill_tpu.data.vqa import VQADataset
+from medvill_tpu.train import finetune as ft
+from medvill_tpu.train.pretrain import TrainState
+from medvill_tpu.utils.logging import MetricLogger, create_logger
+from medvill_tpu.utils.seed import set_seed
+
+
+def str2bool(v):
+    return str(v).lower() in ("1", "true", "yes")
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tasks", type=str, default="report_generation",
+                   choices=["report_generation", "vqa"])
+    p.add_argument("--src_file", type=str, required=True,
+                   help="report-gen: train JSONL; vqa: VQA-RAD dataroot")
+    p.add_argument("--image_root", type=str, default="")
+    p.add_argument("--vocab_file", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="output_finetune")
+    p.add_argument("--model_recover_path", type=str, default=None)
+    p.add_argument("--train_batch_size", type=int, default=4)
+    p.add_argument("--num_train_epochs", type=int, default=5)
+    p.add_argument("--learning_rate", type=float, default=3e-5)
+    p.add_argument("--warmup_proportion", type=float, default=0.1)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--label_smoothing", type=float, default=0.1)
+    p.add_argument("--drop_prob", type=float, default=0.1)
+    p.add_argument("--max_pred", type=int, default=128)
+    p.add_argument("--mask_prob", type=float, default=0.15)
+    p.add_argument("--len_vis_input", type=int, default=256)
+    p.add_argument("--max_len_b", type=int, default=253)
+    p.add_argument("--max_seq_length", type=int, default=512)
+    p.add_argument("--new_segment_ids", type=str2bool, default=True)
+    p.add_argument("--s2s_prob", type=float, default=1.0)
+    p.add_argument("--bi_prob", type=float, default=0.0)
+    p.add_argument("--bar", type=str2bool, default=False)
+    p.add_argument("--vqa_rad", type=str, default="chest",
+                   choices=["all", "chest", "head", "abd"])
+    p.add_argument("--img_size", type=int, default=512)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--vqa_eval", type=str2bool, default=False)
+    return p
+
+
+def config_from_args(args) -> FinetuneConfig:
+    bert = BertConfig.vlp(new_segment_ids=args.new_segment_ids)
+    return FinetuneConfig(
+        task=args.tasks, src_file=args.src_file,
+        output_dir=args.output_dir,
+        model_recover_path=args.model_recover_path,
+        batch_size=args.train_batch_size, epochs=args.num_train_epochs,
+        lr=args.learning_rate, warmup=args.warmup_proportion,
+        weight_decay=args.weight_decay,
+        label_smoothing=args.label_smoothing, drop_prob=args.drop_prob,
+        max_pred=args.max_pred, mask_prob=args.mask_prob,
+        len_vis_input=args.len_vis_input, max_len_b=args.max_len_b,
+        max_seq_length=args.max_seq_length,
+        new_segment_ids=args.new_segment_ids, s2s_prob=args.s2s_prob,
+        bi_prob=args.bi_prob, bar=args.bar,
+        vqa_organs=(args.vqa_rad,) if args.vqa_rad != "all" else
+        ("chest", "head", "abd"),
+        img_size=args.img_size, seed=args.seed, bert=bert,
+        image=ImageEncoderConfig(num_image_embeds=args.len_vis_input,
+                                 img_size=args.img_size,
+                                 encoder="full-fiber"))
+
+
+def main(args) -> None:
+    multihost_initialize()
+    set_seed(args.seed)
+    cfg = config_from_args(args)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    logger = create_logger(os.path.join(cfg.output_dir, "training.log"),
+                           args)
+    with open(os.path.join(cfg.output_dir, "opt.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)  # reference: finetune.py:213-214
+    metrics_log = MetricLogger(cfg.output_dir, project="finetune",
+                               config=vars(args))
+    tokenizer = BertTokenizer.from_vocab_file(args.vocab_file)
+
+    if cfg.task == "vqa":
+        ds = VQADataset(cfg, tokenizer, args.src_file, split="train",
+                        image_root=args.image_root, seed=cfg.seed)
+    else:
+        ds = Img2TxtDataset(args.src_file, tokenizer, cfg, seed=cfg.seed)
+    loader = BatchLoader(ds, cfg.batch_size, shuffle=True, seed=cfg.seed)
+    t_total = max(1, len(loader) * cfg.epochs)
+
+    mesh = make_mesh(cfg.mesh_shape)
+    model = ft.build_model(cfg)
+    import jax.numpy as jnp
+
+    B, L = 2, cfg.max_seq_length
+    dummy_bias = jnp.zeros((B, 1, L, L))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(cfg.seed)},
+        jnp.zeros((B, cfg.img_size, cfg.img_size, 3)),
+        jnp.zeros((B, L), jnp.int32), jnp.zeros((B, L), jnp.int32),
+        dummy_bias,
+        masked_pos=(jnp.zeros((B, cfg.max_pred), jnp.int32)
+                    if cfg.task != "vqa" else None),
+        deterministic=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = ft.make_finetune_tx(cfg)
+    state = TrainState(step=jnp.zeros([], jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=tx.init(params))
+
+    # resume-by-scan (reference: finetune.py:37-47,396-405)
+    start_epoch = 0
+    recover = ckpt_lib.latest_epoch(cfg.output_dir)
+    if recover is not None:
+        state = ckpt_lib.restore(cfg.output_dir, recover, state)
+        start_epoch = recover + 1
+        logger.info("resumed from epoch %d", recover)
+    elif cfg.model_recover_path:
+        # pretrain -> finetune weight import (key remap enc.->'' handled by
+        # subtree merge; reference: finetune.py:333-339)
+        pe = ckpt_lib.latest_epoch(cfg.model_recover_path)
+        if pe is not None:
+            restored = ckpt_lib.restore(cfg.model_recover_path, pe, None)
+            params = _merge_pretrain(params, restored)
+            state = TrainState(step=state.step, params=params,
+                               batch_stats=state.batch_stats,
+                               opt_state=tx.init(params))
+            logger.info("recovered pretrain weights from %s",
+                        cfg.model_recover_path)
+
+    state = replicate(mesh, state)
+    train_step = jax.jit(ft.make_train_step(model, tx, cfg, t_total))
+
+    for epoch in range(start_epoch, cfg.epochs):
+        agg = {}
+        for batch in loader:
+            batch = {k: v for k, v in batch.items()
+                     if k in ("image", "input_ids", "segment_ids",
+                              "mask_spec", "masked_ids", "masked_pos",
+                              "masked_weights", "ans_target")}
+            state, m = train_step(state, shard_batch(mesh, batch),
+                                  jax.random.PRNGKey(cfg.seed))
+            for k, v in m.items():
+                agg.setdefault(k, []).append(float(v))
+        row = {k: float(np.mean(v)) for k, v in agg.items()}
+        metrics_log.log(row, step=epoch)
+        logger.info("epoch %d: %s", epoch, row)
+        if jax.process_index() == 0:  # rank-0 save (finetune.py:474-487)
+            ckpt_lib.save(cfg.output_dir, epoch, jax.device_get(state),
+                          config=vars(args))
+    metrics_log.finish()
+
+
+def _merge_pretrain(params, restored):
+    """Map pretrain CXRBERT params onto the finetune VLP model: ``enc.`` ->
+    ``bert.`` (encoder/embeddings/img stack) and ``mlm.`` -> ``cls.``
+    (reference key remap: finetune.py:333-339)."""
+    import flax
+
+    if restored is None:
+        return params
+    src = restored.get("params", restored)
+    flat_dst = flax.traverse_util.flatten_dict(params)
+    flat_src = flax.traverse_util.flatten_dict(src)
+    merged = dict(flat_dst)
+    n = 0
+    for path, leaf in flat_src.items():
+        if path[0] == "enc":
+            cand = ("bert",) + path[1:]
+        elif path[0] == "mlm":
+            cand = ("cls",) + path[1:]
+        else:
+            cand = path
+        if cand in flat_dst and flat_dst[cand].shape == np.shape(leaf):
+            merged[cand] = leaf
+            n += 1
+    return flax.traverse_util.unflatten_dict(merged)
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

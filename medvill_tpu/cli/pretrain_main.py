@@ -1,0 +1,197 @@
+"""Pretraining CLI — mirror of the reference entry point
+(reference: main_origin.py:65-155, flag-for-flag; author-machine path
+defaults replaced by required arguments).
+
+Usage: python -m medvill_tpu.cli.pretrain_main --train_dataset ... \
+           --vocab_file ... [--BAR_attn ...]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import jax
+import numpy as np
+
+from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
+                                     PretrainConfig)
+from medvill_tpu.core import checkpoint as ckpt_lib
+from medvill_tpu.core.mesh import (make_mesh, multihost_initialize, replicate,
+                                   shard_batch)
+from medvill_tpu.data.pretrain import BatchLoader, CXRPretrainDataset
+from medvill_tpu.data.tokenization import BertTokenizer
+from medvill_tpu.train import optim
+from medvill_tpu.train.pretrain import (init_state, make_eval_step,
+                                        make_train_step)
+from medvill_tpu.utils.logging import MetricLogger, create_logger
+from medvill_tpu.utils.seed import set_seed
+
+
+def str2bool(v):
+    return str(v).lower() in ("1", "true", "yes")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    # datasets (reference: main_origin.py:68-73)
+    p.add_argument("--train_dataset", type=str, required=True)
+    p.add_argument("--test_dataset", type=str, default=None)
+    p.add_argument("--vocab_file", type=str, required=True,
+                   help="BERT wordpiece vocab.txt (no-network replacement "
+                        "for HF tokenizer download)")
+    p.add_argument("--output_path", type=str, default="output")
+    p.add_argument("--log_freq", type=int, default=10)
+    # tasks
+    p.add_argument("--mlm_task", type=str2bool, default=True)
+    p.add_argument("--itm_task", type=str2bool, default=True)
+    # mask variants (main_origin.py:90-95)
+    p.add_argument("--attn_1d", type=str2bool, default=False)
+    p.add_argument("--BAR_attn", type=str2bool, default=True)
+    p.add_argument("--Mixed", type=str2bool, default=False)
+    p.add_argument("--s2s_prob", type=float, default=1.0)
+    p.add_argument("--bi_prob", type=float, default=0.0)
+    p.add_argument("--disturbing_mask", type=str2bool, default=False)
+    # schedule (main_origin.py:97-99)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch_size", type=int, default=36)
+    p.add_argument("--num_workers", type=int, default=4)
+    # model (main_origin.py:102-139)
+    p.add_argument("--hidden_size", type=int, default=768)
+    p.add_argument("--embedding_size", type=int, default=768)
+    p.add_argument("--bert_model", type=str, default="bert-base-scratch",
+                   choices=["bert-base-scratch", "bert-small-scratch",
+                            "bert-base-uncased",
+                            "google/bert_uncased_L-4_H-512_A-8",
+                            "google/bert_uncased_L-2_H-128_A-2"])
+    p.add_argument("--vocab_size", type=int, default=30522)
+    p.add_argument("--weight_load", type=str2bool, default=False)
+    p.add_argument("--pre_trained_model_path", type=str, default=None)
+    p.add_argument("--img_postion", type=str2bool, default=True)
+    p.add_argument("--seq_len", type=int, default=253)
+    p.add_argument("--max_seq_len", type=int, default=512)
+    p.add_argument("--img_hidden_sz", type=int, default=2048)
+    p.add_argument("--img_encoder", type=str, default="random-pixel",
+                   choices=["random-pixel", "full-fiber", "ViT"])
+    p.add_argument("--img_channel", type=int, default=3)
+    p.add_argument("--num_image_embeds", type=int, default=180)
+    p.add_argument("--img_size", type=int, default=512)
+    # optimizer (main_origin.py:141-151)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=4)
+    p.add_argument("--warmup", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--dropout_prob", type=float, default=0.1)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.999)
+    p.add_argument("--eps", type=float, default=1e-6)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    return p
+
+
+def config_from_args(args) -> PretrainConfig:
+    if args.bert_model in ("bert-small-scratch",
+                           "google/bert_uncased_L-4_H-512_A-8"):
+        bert = BertConfig.small()
+    elif args.bert_model == "google/bert_uncased_L-2_H-128_A-2":
+        bert = BertConfig.tiny()
+    else:
+        bert = BertConfig.base()
+    bert = dataclasses.replace(bert, vocab_size=args.vocab_size)
+    image = ImageEncoderConfig(
+        encoder=args.img_encoder, img_size=args.img_size,
+        img_channel=args.img_channel, img_hidden_size=args.img_hidden_sz,
+        num_image_embeds=args.num_image_embeds)
+    return PretrainConfig(
+        train_dataset=args.train_dataset, test_dataset=args.test_dataset,
+        output_path=args.output_path, log_freq=args.log_freq,
+        mlm_task=args.mlm_task, itm_task=args.itm_task,
+        attn_1d=args.attn_1d, bar_attn=args.BAR_attn, mixed=args.Mixed,
+        s2s_prob=args.s2s_prob, bi_prob=args.bi_prob,
+        disturbing_mask=args.disturbing_mask, epochs=args.epochs,
+        batch_size=args.batch_size, num_workers=args.num_workers,
+        bert=bert, image=image, lr=args.lr,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        warmup=args.warmup, seed=args.seed,
+        dropout_prob=args.dropout_prob, beta1=args.beta1, beta2=args.beta2,
+        eps=args.eps, weight_decay=args.weight_decay,
+        weight_load=args.weight_load,
+        pre_trained_model_path=args.pre_trained_model_path,
+        img_position=args.img_postion, seq_len=args.seq_len,
+        max_seq_len=args.max_seq_len)
+
+
+def train(args) -> None:
+    multihost_initialize()
+    set_seed(args.seed)
+    cfg = config_from_args(args)
+    logger = create_logger(os.path.join(cfg.output_path, "train.log"), args)
+    metrics_log = MetricLogger(cfg.output_path, project="CXR-BERT",
+                               config=vars(args))
+
+    tokenizer = BertTokenizer.from_vocab_file(args.vocab_file,
+                                              remap_unused=False)
+    train_ds = CXRPretrainDataset(cfg.train_dataset, tokenizer, cfg,
+                                  seed=cfg.seed)
+    train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
+                               seed=cfg.seed)
+    test_loader = None
+    if cfg.test_dataset:
+        test_ds = CXRPretrainDataset(cfg.test_dataset, tokenizer, cfg,
+                                     seed=cfg.seed + 1)
+        test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False)
+
+    mesh = make_mesh(cfg.mesh_shape)
+    tx = optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay)
+    model, state = init_state(cfg, jax.random.PRNGKey(cfg.seed), tx)
+    if cfg.weight_load and cfg.pre_trained_model_path:
+        epoch = ckpt_lib.latest_epoch(cfg.pre_trained_model_path)
+        if epoch is not None:
+            state = ckpt_lib.restore(cfg.pre_trained_model_path, epoch, state)
+            logger.info("restored checkpoint epoch %s", epoch)
+    state = replicate(mesh, state)
+    train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(model, cfg))
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    for epoch in range(cfg.epochs):
+        t0 = time.time()
+        agg = {}
+        for i, batch in enumerate(train_loader):
+            state, m = train_step(state, shard_batch(mesh, batch), rng)
+            for k, val in m.items():
+                agg.setdefault(k, []).append(float(val))
+            if i % cfg.log_freq == 0:
+                logger.info("epoch %d it %d loss %.4f", epoch, i,
+                            float(m["loss"]))
+        row = {f"avg_{k}": float(np.mean(v)) for k, v in agg.items()}
+        if "mlm_correct" in agg:
+            row["mlm_acc"] = (np.sum(agg["mlm_correct"])
+                              / max(np.sum(agg["mlm_total"]), 1))
+        if "itm_correct" in agg:
+            row["itm_acc"] = (np.sum(agg["itm_correct"])
+                              / max(np.sum(agg["itm_total"]), 1))
+        row["epoch_time_s"] = time.time() - t0
+        metrics_log.log(row, step=epoch)
+        logger.info("epoch %d done: %s", epoch, row)
+
+        if test_loader is not None:
+            eagg = {}
+            for batch in test_loader:
+                m = eval_step(state, shard_batch(mesh, batch))
+                for k, val in m.items():
+                    eagg.setdefault(k, []).append(float(val))
+            erow = {f"eval_avg_{k}": float(np.mean(v))
+                    for k, v in eagg.items()}
+            metrics_log.log(erow, step=epoch)
+            logger.info("epoch %d eval: %s", epoch, erow)
+
+        if jax.process_index() == 0:
+            ckpt_lib.save(cfg.output_path, epoch, jax.device_get(state),
+                          config=vars(args))
+    metrics_log.finish()
+
+
+if __name__ == "__main__":
+    train(build_parser().parse_args())

@@ -1,0 +1,138 @@
+"""Retrieval CLI — mirror of the reference entry point
+(reference: Downstream_task/Retrieval/full_dset_retrieval.py:512-793)."""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
+                                     RetrievalConfig)
+from medvill_tpu.core import checkpoint as ckpt_lib
+from medvill_tpu.core.mesh import make_mesh, replicate, shard_batch
+from medvill_tpu.data.pretrain import BatchLoader
+from medvill_tpu.data.retrieval import CXRRetrievalDataset, collate_pairs
+from medvill_tpu.data.tokenization import BertTokenizer
+from medvill_tpu.train import optim, retrieve
+from medvill_tpu.train.pretrain import TrainState
+from medvill_tpu.utils.logging import MetricLogger, create_logger
+from medvill_tpu.utils.seed import set_seed
+
+
+def str2bool(v):
+    return str(v).lower() in ("1", "true", "yes")
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--train_dataset", type=str, default="")
+    p.add_argument("--eval_dataset", type=str, default="")
+    p.add_argument("--vocab_file", type=str, required=True)
+    p.add_argument("--output_path", type=str, default="output_retrieval")
+    p.add_argument("--do_train", type=str2bool, default=True)
+    p.add_argument("--do_test", type=str2bool, default=False)
+    p.add_argument("--i2t", type=str2bool, default=True)
+    p.add_argument("--t2i", type=str2bool, default=False)
+    p.add_argument("--label_conditioned", type=str2bool, default=True)
+    p.add_argument("--batch_size", type=int, default=70)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--seq_len", type=int, default=253)
+    p.add_argument("--num_image_embeds", type=int, default=180)
+    p.add_argument("--img_size", type=int, default=512)
+    p.add_argument("--eval_len_size", type=int, default=759)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--load_pretrained_model", type=str, default=None)
+    return p
+
+
+def main(args) -> None:
+    set_seed(args.seed)
+    os.makedirs(args.output_path, exist_ok=True)
+    logger = create_logger(os.path.join(args.output_path, "train.log"), args)
+    metrics_log = MetricLogger(args.output_path, project="retrieval",
+                               config=vars(args))
+    tokenizer = BertTokenizer.from_vocab_file(args.vocab_file,
+                                              remap_unused=False)
+    cfg = RetrievalConfig(
+        train_dataset=args.train_dataset, eval_dataset=args.eval_dataset,
+        output_path=args.output_path, batch_size=args.batch_size,
+        epochs=args.epochs, lr=args.lr, seq_len=args.seq_len,
+        img_size=args.img_size, seed=args.seed,
+        direction="i2t" if args.i2t else "t2i",
+        eval_len_size=args.eval_len_size,
+        pretrained_ckpt=args.load_pretrained_model,
+        image=ImageEncoderConfig(num_image_embeds=args.num_image_embeds,
+                                 img_size=args.img_size))
+
+    mesh = make_mesh(cfg.mesh_shape)
+    model = retrieve.build_model(cfg)
+    import jax.numpy as jnp
+    from medvill_tpu.train.pretrain import init_state
+    from medvill_tpu.core.config import PretrainConfig
+
+    pcfg = PretrainConfig(seq_len=cfg.seq_len, bert=cfg.bert,
+                          image=cfg.image, lr=cfg.lr)
+    tx = optim.adamw(cfg.lr)
+    _, state = init_state(pcfg, jax.random.PRNGKey(cfg.seed), tx)
+    if cfg.pretrained_ckpt:
+        epoch = ckpt_lib.latest_epoch(cfg.pretrained_ckpt)
+        if epoch is not None:
+            state = ckpt_lib.restore(cfg.pretrained_ckpt, epoch, state)
+            logger.info("restored pretrain checkpoint epoch %s", epoch)
+    state = replicate(mesh, state)
+
+    if args.do_train:
+        train_ds = CXRRetrievalDataset(
+            cfg.train_dataset, tokenizer, cfg, is_train=True,
+            label_conditioned=args.label_conditioned, seed=cfg.seed)
+        loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
+                             seed=cfg.seed)
+        # override collate: pos+neg concatenated on batch
+        orig_iter = loader.__iter__
+
+        def pair_iter():
+            order = np.arange(len(train_ds))
+            np.random.default_rng(cfg.seed).shuffle(order)
+            B = cfg.batch_size
+            for i in range(len(train_ds) // B):
+                yield collate_pairs([train_ds[int(j)]
+                                     for j in order[i * B:(i + 1) * B]])
+
+        train_step = jax.jit(retrieve.make_train_step(model, tx, cfg))
+        for epoch in range(cfg.epochs):
+            losses, accs = [], []
+            for batch in pair_iter():
+                state, m = train_step(state, shard_batch(mesh, batch),
+                                      jax.random.PRNGKey(cfg.seed))
+                losses.append(float(m["loss"]))
+                accs.append(float(m["acc"]))
+            row = {"train_loss": float(np.mean(losses)),
+                   "train_acc": float(np.mean(accs))}
+            metrics_log.log(row, step=epoch)
+            logger.info("epoch %d: %s", epoch, row)
+            ckpt_lib.save(cfg.output_path, epoch, jax.device_get(state),
+                          config=vars(args))
+
+    if args.do_test and cfg.eval_dataset:
+        eval_ds = CXRRetrievalDataset(cfg.eval_dataset, tokenizer, cfg,
+                                      is_train=False)
+        eval_loader = BatchLoader(eval_ds, cfg.batch_size, shuffle=False)
+        score_step = jax.jit(retrieve.make_score_step(model, cfg))
+        results = retrieve.run_retrieval_eval(
+            score_step, state, eval_loader, cfg.eval_len_size,
+            cfg.direction)
+        logger.info("retrieval eval: %s", results)
+        with open(os.path.join(cfg.output_path, "eval_results.json"),
+                  "w") as f:
+            json.dump(results, f, indent=2)
+        metrics_log.log({"mrr": results["mrr"],
+                         **results["hits"][f"{cfg.direction}_retrieval"]})
+    metrics_log.finish()
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

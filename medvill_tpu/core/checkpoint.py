@@ -1,0 +1,208 @@
+"""Checkpointing: one orbax format + import shims for the reference's three
+torch conventions.
+
+Reference conventions (SURVEY.md §5):
+(a) HF ``save_pretrained`` per epoch into ``output/<ts>/<epoch>/``
+    (models/train_origin.py:254-266);
+(b) monolithic dict {epoch, state_dict, optimizer, scheduler, ...} +
+    ``model_best.pt`` copy (utils/utils.py:18-26, mmbt/main.py:319-330);
+(c) ``model.{N}.bin`` / ``optim.{N}.bin`` + config.json, rank-0 only
+    (sc/finetune.py:474-487) with resume-by-scan
+    (``_get_max_epoch_model``, finetune.py:37-47).
+
+Here: orbax ``StandardCheckpointer`` writes the full TrainState per epoch into
+``<dir>/<epoch>``; `latest_epoch` reproduces resume-by-scan; torch->jax key
+remapping lives in `torch_remap` (mirroring finetune.py:333-339 ``enc.->''``,
+``mlm.->cls.`` and generation_decode.py:384-388 ``->bert.*``).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save(directory: str, epoch: int, state: Any,
+         config: Optional[dict] = None, best: bool = False) -> str:
+    """Save state under <directory>/<epoch>; optionally copy to 'best'
+    (the reference's model_best.pt convention, utils/utils.py:18-22)."""
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, str(epoch))
+    ckpt = _checkpointer()
+    state = jax.device_get(state)
+    ckpt.save(path, state, force=True)
+    ckpt.wait_until_finished()
+    if config is not None:
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(config, f, indent=2, default=str)
+    if best:
+        best_path = os.path.join(directory, "best")
+        if os.path.exists(best_path):
+            shutil.rmtree(best_path)
+        shutil.copytree(path, best_path)
+    return path
+
+
+def restore(directory: str, epoch: int | str, target: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(os.path.abspath(directory), str(epoch))
+    return _checkpointer().restore(path, target)
+
+
+def latest_epoch(directory: str) -> Optional[int]:
+    """Resume-by-scan: the largest epoch with a complete checkpoint
+    (reference: finetune.py:37-47 scans model.*.bin ∩ optim.*.bin)."""
+    if not os.path.isdir(directory):
+        return None
+    epochs = []
+    for name in os.listdir(directory):
+        if re.fullmatch(r"\d+", name) and os.path.isdir(
+                os.path.join(directory, name)):
+            epochs.append(int(name))
+    return max(epochs) if epochs else None
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint import (for parity with reference-pretrained weights).
+# ---------------------------------------------------------------------------
+
+def torch_remap(state_dict: Dict[str, Any], mapping: str) -> Dict[str, Any]:
+    """Key remaps used when moving weights between reference stages:
+
+    - 'pretrain_to_finetune': strip ``enc.`` and rename ``mlm.`` -> ``cls.``
+      (reference: sc/finetune.py:333-339);
+    - 'finetune_to_decoder': prefix encoder keys with ``bert.``
+      (reference: sc/generation_decode.py:384-388).
+    """
+    out = {}
+    for k, v in state_dict.items():
+        if mapping == "pretrain_to_finetune":
+            if k.startswith("enc."):
+                k = k[len("enc."):]
+            elif k.startswith("mlm."):
+                k = "cls." + k[len("mlm."):]
+        elif mapping == "finetune_to_decoder":
+            if not k.startswith(("cls.", "bert.")):
+                k = "bert." + k
+        out[k] = v
+    return out
+
+
+def import_torchvision_resnet50(state_dict: Dict[str, "np.ndarray"]) -> dict:
+    """torchvision resnet50 state_dict -> our ResNet50Trunk
+    {params, batch_stats} pytrees.
+
+    Conv: OIHW -> HWIO transpose.  BatchNorm: weight/bias -> scale/bias
+    params; running_mean/var -> batch_stats.
+    """
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+
+    def to_np(v):
+        return np.asarray(v)
+
+    def put(tree, path, leaf):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = leaf
+
+    def conv_kernel(v):
+        return to_np(v).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+    stage_sizes = [3, 4, 6, 3]
+    # stem
+    put(params, ("conv1", "kernel"), conv_kernel(state_dict["conv1.weight"]))
+    put(params, ("bn1", "scale"), to_np(state_dict["bn1.weight"]))
+    put(params, ("bn1", "bias"), to_np(state_dict["bn1.bias"]))
+    put(batch_stats, ("bn1", "mean"), to_np(state_dict["bn1.running_mean"]))
+    put(batch_stats, ("bn1", "var"), to_np(state_dict["bn1.running_var"]))
+    for stage, n_blocks in enumerate(stage_sizes):
+        for block in range(n_blocks):
+            src = f"layer{stage + 1}.{block}"
+            dst = f"layer{stage + 1}_{block}"
+            for ci in (1, 2, 3):
+                put(params, (dst, f"conv{ci}", "kernel"),
+                    conv_kernel(state_dict[f"{src}.conv{ci}.weight"]))
+                put(params, (dst, f"bn{ci}", "scale"),
+                    to_np(state_dict[f"{src}.bn{ci}.weight"]))
+                put(params, (dst, f"bn{ci}", "bias"),
+                    to_np(state_dict[f"{src}.bn{ci}.bias"]))
+                put(batch_stats, (dst, f"bn{ci}", "mean"),
+                    to_np(state_dict[f"{src}.bn{ci}.running_mean"]))
+                put(batch_stats, (dst, f"bn{ci}", "var"),
+                    to_np(state_dict[f"{src}.bn{ci}.running_var"]))
+            if f"{src}.downsample.0.weight" in state_dict:
+                put(params, (dst, "downsample_conv", "kernel"),
+                    conv_kernel(state_dict[f"{src}.downsample.0.weight"]))
+                put(params, (dst, "downsample_bn", "scale"),
+                    to_np(state_dict[f"{src}.downsample.1.weight"]))
+                put(params, (dst, "downsample_bn", "bias"),
+                    to_np(state_dict[f"{src}.downsample.1.bias"]))
+                put(batch_stats, (dst, "downsample_bn", "mean"),
+                    to_np(state_dict[f"{src}.downsample.1.running_mean"]))
+                put(batch_stats, (dst, "downsample_bn", "var"),
+                    to_np(state_dict[f"{src}.downsample.1.running_var"]))
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def import_hf_bert(state_dict: Dict[str, Any], num_layers: int = 12) -> dict:
+    """HF ``bert.*`` torch state_dict -> our BertEmbeddings/BertEncoder/
+    BertPooler params (under one dict with keys 'embeddings', 'encoder',
+    'pooler').  Linear: weight^T -> kernel."""
+    def t(v):
+        return np.asarray(v)
+
+    def lin(prefix):
+        return {"kernel": t(state_dict[prefix + ".weight"]).T,
+                "bias": t(state_dict[prefix + ".bias"])}
+
+    def ln(prefix):
+        return {"scale": t(state_dict[prefix + ".weight"]),
+                "bias": t(state_dict[prefix + ".bias"])}
+
+    p: Dict[str, Any] = {}
+    emb = "bert.embeddings" if "bert.embeddings.word_embeddings.weight" in \
+        state_dict else "embeddings"
+    p["embeddings"] = {
+        "word_embeddings": {"embedding":
+                            t(state_dict[f"{emb}.word_embeddings.weight"])},
+        "position_embeddings": {
+            "embedding": t(state_dict[f"{emb}.position_embeddings.weight"])},
+        "token_type_embeddings": {
+            "embedding": t(state_dict[f"{emb}.token_type_embeddings.weight"])},
+        "LayerNorm": ln(f"{emb}.LayerNorm"),
+    }
+    encp = emb.replace("embeddings", "encoder")
+    layers = {}
+    for i in range(num_layers):
+        lp = f"{encp}.layer.{i}"
+        layers[f"layer_{i}"] = {
+            "self": {"query": lin(f"{lp}.attention.self.query"),
+                     "key": lin(f"{lp}.attention.self.key"),
+                     "value": lin(f"{lp}.attention.self.value")},
+            "attention_output": {
+                "dense": lin(f"{lp}.attention.output.dense"),
+                "LayerNorm": ln(f"{lp}.attention.output.LayerNorm")},
+            "intermediate": lin(f"{lp}.intermediate.dense"),
+            "output_dense": lin(f"{lp}.output.dense"),
+            "output_LayerNorm": ln(f"{lp}.output.LayerNorm"),
+        }
+    p["encoder"] = layers
+    poolp = emb.replace("embeddings", "pooler")
+    if f"{poolp}.dense.weight" in state_dict:
+        p["pooler"] = {"dense": lin(f"{poolp}.dense")}
+    return p

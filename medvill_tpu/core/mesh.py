@@ -1,0 +1,75 @@
+"""Device mesh + sharding helpers.
+
+The reference scales with ``nn.DataParallel`` / NCCL DDP (reference:
+models/train_origin.py:53-55, sc/finetune.py:224-235).  Here a single pjit
+program is laid out over a ``jax.sharding.Mesh`` with a ``data`` axis; XLA
+emits all-reduces over ICI (intra-slice) / DCN (inter-slice).  The same program
+runs on 1 chip or a pod slice.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(shape: Sequence[int] = (-1,), axis_names: Sequence[str] = (DATA_AXIS,),
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Create a mesh; -1 in `shape` absorbs the remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    shape = list(shape)
+    known = int(np.prod([s for s in shape if s != -1])) or 1
+    if -1 in shape:
+        shape[shape.index(-1)] = len(devices) // known
+    n = int(np.prod(shape))
+    arr = np.array(devices[:n]).reshape(shape)
+    return Mesh(arr, tuple(axis_names))
+
+
+def batch_pspec(mesh: Mesh) -> P:
+    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    return P(DATA_AXIS)
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host pytree batch with the leading dim sharded over `data`."""
+    def put(x):
+        spec = P(DATA_AXIS, *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree (params / optimizer state) over the whole mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def multihost_initialize() -> None:
+    """Multi-host entry (reference DDP equivalent: sc/finetune.py:224-235).
+
+    No-op on a single process; on multi-host TPU pods call before any jax use.
+    """
+    try:
+        if jax.process_count() > 1:
+            return  # already initialized
+    except RuntimeError:
+        pass
+    try:
+        jax.distributed.initialize()
+    except (ValueError, RuntimeError):
+        # single-process run (no coordinator configured)
+        pass

@@ -1,0 +1,161 @@
+"""Pretraining data pipeline: JSONL -> numpy batches of (ids, labels, spec).
+
+Equivalent of ``CXRDataset`` (reference: data/dataset_origin.py:25-235) with
+one structural change: instead of materializing the ``[L, L]`` attention mask
+per sample, each example carries a 2-int spec ``(variant, txt_len)`` that the
+device realizes analytically (see medvill_tpu/data/masks.py).
+
+Example JSONL schema (reference: dataset_origin.py:211-216):
+``{"id": ..., "split": ..., "label": ..., "text": ..., "img": ...}``.
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from medvill_tpu.core.config import MaskVariant, PretrainConfig
+from medvill_tpu.data import images as image_lib
+from medvill_tpu.data.sampling import random_pair_sampling, random_word, truncate_txt
+from medvill_tpu.data.tokenization import BertTokenizer
+
+
+class CXRPretrainDataset:
+    """Per-example processing; indexable like the torch Dataset."""
+
+    def __init__(self, data_path_or_records, tokenizer: BertTokenizer,
+                 cfg: PretrainConfig, seed: int = 0,
+                 image_loader=None):
+        if isinstance(data_path_or_records, str):
+            self.data_dir = os.path.dirname(data_path_or_records)
+            with open(data_path_or_records) as f:
+                self.data = [json.loads(l) for l in f]
+        else:
+            self.data_dir = ""
+            self.data = list(data_path_or_records)
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.seq_len = cfg.seq_len
+        self.num_image_embeds = cfg.image.num_image_embeds
+        self.total_len = cfg.total_len
+        self.vocab = tokenizer.vocab
+        self.vocab_len = len(self.vocab)
+        self.rng = random.Random(seed)
+        self.image_loader = image_loader or self._default_image_loader
+
+        self.static_variant = cfg.resolve_variant()  # None => Mixed
+
+    def _default_image_loader(self, img_path: str) -> np.ndarray:
+        return image_lib.load_image(
+            os.path.join(self.data_dir, img_path), self.cfg.image.img_size,
+            channels=self.cfg.image.img_channel,
+            # 512 path skips resize in the reference (helper.py:19-27);
+            # dataset images are already 512
+            do_resize=(self.cfg.image.img_size == 224))
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = self.rng
+        origin_txt, img_path, is_aligned, _itm_prob = random_pair_sampling(
+            idx, self.data, rng)
+        image = self.image_loader(img_path)
+
+        tokens = self.tokenizer.tokenize(origin_txt)
+        truncate_txt(tokens, self.seq_len)
+        unk = self.vocab.get("[UNK]")
+        encoded = [self.vocab.get(w, unk) for w in tokens]
+
+        input_ids, txt_labels = random_word(encoded, self.vocab_len,
+                                            self.vocab["[MASK]"], rng)
+
+        # [SEP] append + label layout (reference: dataset_origin.py:104-126;
+        # the disturbing branch adds a leading -100 for the extra text-CLS)
+        input_ids = input_ids + [self.vocab["[SEP]"]]
+        if self.cfg.disturbing_mask:
+            txt_labels_t = [-100] + txt_labels + [-100]
+        else:
+            txt_labels_t = txt_labels + [-100]
+        txt_labels_i = [-100] * (self.num_image_embeds + 2)
+
+        txt_len = len(input_ids)  # valid text positions incl. [SEP]
+        pad_id = self.vocab["[PAD]"]
+        n_pad = self.seq_len - txt_len + 1
+        input_ids = input_ids + [pad_id] * n_pad
+        txt_labels_t = txt_labels_t + [-100] * n_pad
+        txt_labels_full = txt_labels_i + txt_labels_t
+
+        segment = [1] * (self.seq_len + 1)  # reference: dataset_origin.py:129
+
+        # mask spec
+        if self.static_variant is None:
+            # Mixed: per-sample weighted choice (dataset_origin.py:152-156)
+            variant = (MaskVariant.FULL
+                       if rng.random() < self.cfg.bi_prob else MaskVariant.S2S)
+        else:
+            variant = self.static_variant
+
+        return dict(
+            cls_tok=np.array([self.vocab["[CLS]"]], np.int32),
+            input_txt=np.array(input_ids, np.int32),
+            txt_labels=np.array(txt_labels_full, np.int32),
+            mask_spec=np.array([int(variant), txt_len], np.int32),
+            image=image.astype(np.float32),
+            segment=np.array(segment, np.int32),
+            is_aligned=np.int32(is_aligned),
+            sep_tok=np.array([self.vocab["[SEP]"]], np.int32),
+        )
+
+
+def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k in samples[0]:
+        out[k] = np.stack([s[k] for s in samples])
+    return out
+
+
+class BatchLoader:
+    """Minimal epoch iterator with shuffling (reference: DataLoader,
+    main_origin.py:52-54).  Single-process; heavy decode work can be threaded
+    later — the bench path uses synthetic batches.
+    Drops the last partial batch to keep shapes static for XLA."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        B = self.batch_size
+        for i in range(len(self)):
+            idxs = order[i * B:(i + 1) * B]
+            yield collate([self.dataset[int(j)] for j in idxs])
+
+
+def synthetic_records(n: int, rng: Optional[random.Random] = None,
+                      n_labels: int = 5, words: Optional[List[str]] = None
+                      ) -> List[dict]:
+    """Synthetic JSONL-shaped records for tests/benchmarks."""
+    rng = rng or random.Random(0)
+    words = words or [f"word{i}" for i in range(50)]
+    recs = []
+    for i in range(n):
+        text = " ".join(rng.choices(words, k=rng.randint(5, 30)))
+        recs.append(dict(id=str(i), split="train",
+                         label=f"label{rng.randrange(n_labels)}",
+                         text=text, img=f"img{i}.jpg"))
+    return recs

@@ -1,0 +1,244 @@
+"""BERT encoder stack in Flax (post-LN, HF-compatible parameterization).
+
+Mirrors the semantics of the HF ``transformers.modeling_bert.BertModel`` used
+by the pretrain/classification/retrieval paths (reference:
+models/cxrbert_origin.py:8-10) and the vendored copy used by finetune/decode
+(reference: sc/pytorch_pretrained_bert/model.py:202-433).  Submodule names
+follow the torch parameter tree so checkpoint import is a mechanical remap.
+
+TPU notes:
+- attention runs through `medvill_tpu.ops` so the Pallas flash kernel can be
+  swapped in; the additive-bias reference path is the fallback and oracle.
+- all matmuls run in ``config.compute_dtype`` (bf16 on TPU); LayerNorm and
+  softmax accumulate in fp32.
+- the encoder exposes an incremental path with a true K/V cache for
+  autoregressive decode; the reference instead caches per-layer *hidden
+  states* and recomputes K/V over ``cat(history, new)`` (reference:
+  sc/pytorch_pretrained_bert/model.py:285-294) — mathematically identical
+  since K/V are per-position linear maps (equivalence tested in
+  tests/test_decode_equivalence.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from medvill_tpu.core.config import BertConfig
+from medvill_tpu.ops.attention import mha_reference
+
+
+def _dtype(cfg: BertConfig):
+    return jnp.dtype(cfg.compute_dtype)
+
+
+class BertEmbeddings(nn.Module):
+    """word + position + token-type embeddings -> LayerNorm -> dropout.
+
+    When ``position_ids`` is None uses ``arange(L)`` like HF — note the
+    reference embeds [CLS]/[SEP] by separate 1-token calls so they all get
+    position 0 (reference: models/cxrbert_origin.py:115-119).
+    """
+
+    config: BertConfig
+
+    def setup(self):
+        cfg = self.config
+        init = nn.initializers.normal(stddev=cfg.initializer_range)
+        self.word_embeddings = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                                        embedding_init=init, name="word_embeddings")
+        self.position_embeddings = nn.Embed(cfg.max_position_embeddings,
+                                            cfg.hidden_size,
+                                            embedding_init=init,
+                                            name="position_embeddings")
+        self.token_type_embeddings = nn.Embed(cfg.type_vocab_size,
+                                              cfg.hidden_size,
+                                              embedding_init=init,
+                                              name="token_type_embeddings")
+        self.LayerNorm = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                                      name="LayerNorm")
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def __call__(self, input_ids: jnp.ndarray,
+                 token_type_ids: Optional[jnp.ndarray] = None,
+                 position_ids: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        B, L = input_ids.shape
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32),
+                                            (B, L))
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros((B, L), dtype=jnp.int32)
+        x = (self.word_embeddings(input_ids)
+             + self.position_embeddings(position_ids)
+             + self.token_type_embeddings(token_type_ids))
+        x = self.LayerNorm(x)
+        x = self.dropout(x, deterministic=deterministic)
+        return x.astype(_dtype(self.config))
+
+    def embed_projected(self, vectors: jnp.ndarray,
+                        position_ids: jnp.ndarray,
+                        token_type_ids: jnp.ndarray,
+                        projected: jnp.ndarray,
+                        deterministic: bool = True) -> jnp.ndarray:
+        """Shared-table path for image embeddings: caller supplies the
+        projected vectors; we add pos/type embeddings + LN + dropout
+        (reference: ImageBertEmbeddings, models/cxrbert_origin.py:12-35)."""
+        del vectors
+        x = (projected
+             + self.position_embeddings(position_ids)
+             + self.token_type_embeddings(token_type_ids))
+        x = self.LayerNorm(x)
+        x = self.dropout(x, deterministic=deterministic)
+        return x.astype(_dtype(self.config))
+
+
+class BertSelfAttention(nn.Module):
+    config: BertConfig
+
+    def setup(self):
+        cfg = self.config
+        init = nn.initializers.normal(stddev=cfg.initializer_range)
+        dense = lambda name: nn.Dense(cfg.hidden_size, kernel_init=init,
+                                      dtype=_dtype(cfg), name=name)
+        self.query = dense("query")
+        self.key = dense("key")
+        self.value = dense("value")
+        self.dropout = nn.Dropout(cfg.attention_probs_dropout_prob)
+
+    def project(self, hidden: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        cfg = self.config
+        B, L, _ = hidden.shape
+        shape = (B, L, cfg.num_attention_heads, cfg.head_dim)
+        q = self.query(hidden).reshape(shape)
+        k = self.key(hidden).reshape(shape)
+        v = self.value(hidden).reshape(shape)
+        return q, k, v
+
+    def __call__(self, hidden: jnp.ndarray, bias: Optional[jnp.ndarray],
+                 deterministic: bool = True,
+                 attention_fn: Any = None,
+                 kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 cache_index: Optional[jnp.ndarray] = None):
+        """Returns (context [B,L,hid], new_kv_cache or None)."""
+        cfg = self.config
+        q, k, v = self.project(hidden)
+        new_cache = None
+        if kv_cache is not None:
+            # incremental decode: write new K/V at [cache_index, ...) and
+            # attend over the full cache (masked by bias)
+            ck, cv = kv_cache
+            Lnew = k.shape[1]
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, cache_index, 0, 0))
+            k, v = ck, cv
+            new_cache = (ck, cv)
+        dropout_rng = None
+        if not deterministic and cfg.attention_probs_dropout_prob > 0.0:
+            dropout_rng = self.make_rng("dropout")
+        if attention_fn is None:
+            ctx = mha_reference(
+                q, k, v, bias,
+                dropout_rate=cfg.attention_probs_dropout_prob,
+                deterministic=deterministic, dropout_rng=dropout_rng)
+        else:
+            ctx = attention_fn(q, k, v, bias, dropout_rng=dropout_rng,
+                               deterministic=deterministic)
+        B, L = hidden.shape[:2]
+        return ctx.reshape(B, L, cfg.hidden_size), new_cache
+
+
+class BertSelfOutput(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, ctx, residual, deterministic=True):
+        cfg = self.config
+        x = nn.Dense(cfg.hidden_size,
+                     kernel_init=nn.initializers.normal(cfg.initializer_range),
+                     dtype=_dtype(cfg), name="dense")(ctx)
+        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="LayerNorm")(
+            x + residual)
+        return x.astype(_dtype(cfg))
+
+
+class BertLayer(nn.Module):
+    config: BertConfig
+
+    def setup(self):
+        cfg = self.config
+        init = nn.initializers.normal(stddev=cfg.initializer_range)
+        self.self_attention = BertSelfAttention(cfg, name="self")
+        self.attention_output = BertSelfOutput(cfg, name="attention_output")
+        self.intermediate = nn.Dense(cfg.intermediate_size, kernel_init=init,
+                                     dtype=_dtype(cfg), name="intermediate")
+        self.output_dense = nn.Dense(cfg.hidden_size, kernel_init=init,
+                                     dtype=_dtype(cfg), name="output_dense")
+        self.output_dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.output_LayerNorm = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                                             name="output_LayerNorm")
+
+    def __call__(self, hidden, bias, deterministic=True, attention_fn=None,
+                 kv_cache=None, cache_index=None):
+        ctx, new_cache = self.self_attention(
+            hidden, bias, deterministic=deterministic,
+            attention_fn=attention_fn, kv_cache=kv_cache,
+            cache_index=cache_index)
+        attn_out = self.attention_output(ctx, hidden,
+                                         deterministic=deterministic)
+        inter = self.intermediate(attn_out)
+        # exact erf-GELU (reference: cxrbert_origin.py:176-181 /
+        # sc/pytorch_pretrained_bert/model.py gelu)
+        inter = jax.nn.gelu(inter.astype(jnp.float32),
+                            approximate=False).astype(_dtype(self.config))
+        out = self.output_dense(inter)
+        out = self.output_dropout(out, deterministic=deterministic)
+        out = self.output_LayerNorm(out + attn_out).astype(_dtype(self.config))
+        return out, new_cache
+
+
+class BertEncoder(nn.Module):
+    """Stack of BertLayers.
+
+    Layers are distinct parameter sets (not scanned) to match the reference
+    topology 1:1; at 12 layers compile time is fine and XLA still fuses per
+    layer.
+    """
+
+    config: BertConfig
+
+    def setup(self):
+        self.layers = [BertLayer(self.config, name=f"layer_{i}")
+                       for i in range(self.config.num_hidden_layers)]
+
+    def __call__(self, hidden, bias, deterministic=True, attention_fn=None,
+                 kv_caches=None, cache_index=None):
+        new_caches = [] if kv_caches is not None else None
+        for i, layer in enumerate(self.layers):
+            cache = kv_caches[i] if kv_caches is not None else None
+            hidden, new_cache = layer(hidden, bias,
+                                      deterministic=deterministic,
+                                      attention_fn=attention_fn,
+                                      kv_cache=cache, cache_index=cache_index)
+            if new_caches is not None:
+                new_caches.append(new_cache)
+        return hidden, new_caches
+
+
+class BertPooler(nn.Module):
+    """dense+tanh over position 0 (reference: HF BertPooler)."""
+
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, hidden):
+        x = nn.Dense(self.config.hidden_size,
+                     kernel_init=nn.initializers.normal(
+                         self.config.initializer_range),
+                     dtype=_dtype(self.config), name="dense")(hidden[:, 0])
+        return jnp.tanh(x.astype(jnp.float32)).astype(_dtype(self.config))

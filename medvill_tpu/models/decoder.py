@@ -1,0 +1,284 @@
+"""Autoregressive report-generation decoding: greedy / sampling / beam.
+
+Equivalent of ``BertForSeq2SeqDecoder`` (reference:
+sc/pytorch_pretrained_bert/model.py:1132-1487) built TPU-first:
+
+- static-shape ``lax.fori_loop`` over ``max_txt_length`` steps with a true
+  per-layer K/V cache (the reference caches hidden states and recomputes K/V
+  over concatenated history each step, model.py:285-294 — mathematically
+  identical; proven in tests/test_decode_equivalence.py);
+- the UniLM [MASK]-probe scheme: each step re-encodes the previously
+  committed token and probes a [MASK] at the next slot, exactly like the
+  reference's 2-position window (model.py:1174-1233);
+- ``teacher_forcing=True`` reproduces the reference greedy loop's quirk of
+  feeding the *ground-truth* token at each step (model.py:1177-1189) — the
+  mode generation_decode.py uses for ppl — while ``False`` gives true
+  free-running generation;
+- beam search with per-beam cache gather, EOS freezing, duplicate-ngram
+  forbidding, and GNMT length penalty (reference: model.py:1239-1487 with
+  back-pointer traces; we gather eagerly each step so no traceback pass).
+
+Decode-time geometry (sc/data_loader.py:476-528 with max_a_len ==
+len_vis_input): position ids are simply ``arange`` over
+``[CLS] img [SEP] txt...``; token types 4 (image segment) / 5 (text) under
+new_segment_ids.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from medvill_tpu.models.seq2seq import VLPForPreTraining
+
+NEG = -10000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeSettings:
+    max_txt_length: int = 128
+    mask_word_id: int = 103      # [MASK]
+    eos_id: int = 102            # [SEP] (decode CLI passes [SEP])
+    beam_size: int = 1
+    length_penalty: float = 0.0
+    forbid_duplicate_ngrams: bool = False
+    ngram_size: int = 3
+    min_len: int = 0
+    new_segment_ids: bool = True
+
+    @property
+    def img_type_id(self) -> int:
+        return 4 if self.new_segment_ids else 0
+
+    @property
+    def txt_type_id(self) -> int:
+        return 5 if self.new_segment_ids else 1
+
+
+def _window_bias(vis: int, t, L: int, dtype=jnp.float32):
+    """Bias [1, 1, 2, L] for the (committed, probe) window at text step t:
+    row 0 = slot vis+t-1 sees cols < vis and text cols <= vis+t-1;
+    row 1 = probe at slot vis+t sees cols < vis and text cols <= vis+t."""
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2, L), 3)
+    r_end = jnp.stack([vis + t - 1, vis + t]).reshape(1, 1, 2, 1)
+    visible = (c < vis) | (c <= r_end)
+    return jnp.where(visible, 0.0, NEG).astype(dtype)
+
+
+def _prefill_bias(vis: int, L: int, dtype=jnp.float32):
+    """Image-segment rows attend image cols only (s2s decode mask,
+    sc/data_loader.py:524)."""
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, 1, vis, L), 3)
+    return jnp.where(c < vis, 0.0, NEG).astype(dtype)
+
+
+def _sep_last_ids(cls_id: int, sep_id: int, B: int, vis: int):
+    ids = jnp.full((B, vis), 0, jnp.int32)
+    ids = ids.at[:, 0].set(cls_id)
+    ids = ids.at[:, -1].set(sep_id)
+    return ids
+
+
+def greedy_decode(model: VLPForPreTraining, variables, image,
+                  settings: DecodeSettings, cls_id: int, sep_id: int,
+                  gt_tokens: Optional[jnp.ndarray] = None,
+                  teacher_forcing: bool = False,
+                  pixel_indices=None):
+    """Returns (output_ids [B, T], output_logprob [B, T], gt_nll [B, T]).
+
+    gt_nll is the per-position CE of the ground-truth token (for ppl,
+    reference: generation_decode.py:586-589); zeros when gt_tokens is None.
+    """
+    cfg = model.config
+    vis = model.len_vis_input + 2
+    T = settings.max_txt_length
+    L = vis + T + 1
+    B = image.shape[0]
+
+    def apply(method, *args, **kwargs):
+        return model.apply(variables, *args, method=method, **kwargs)
+
+    caches = model.bind(variables).bert.init_kv_caches(B, L)
+    seg_ids = _sep_last_ids(cls_id, sep_id, B, vis)
+    seg_types = jnp.full((B, vis), settings.img_type_id, jnp.int32)
+    _, caches = apply(VLPForPreTraining.decode_prefill, image, seg_ids,
+                      seg_types, caches, _prefill_bias(vis, L),
+                      pixel_indices=pixel_indices)
+
+    if gt_tokens is None:
+        gt_tokens = jnp.zeros((B, T), jnp.int32)
+
+    def step(t, carry):
+        caches, out_ids, out_logp, gt_nll, last_tok, done = carry
+        # committed slot token: step 0 re-encodes the segment [SEP]
+        prev_committed = jnp.where(t == 0, jnp.full((B,), sep_id, jnp.int32),
+                                   last_tok)
+        tok_a = prev_committed
+        window_ids = jnp.stack(
+            [tok_a, jnp.full((B,), settings.mask_word_id, jnp.int32)],
+            axis=1)
+        pos = jnp.stack([jnp.full((B,), vis - 1, jnp.int32) + t,
+                         jnp.full((B,), vis, jnp.int32) + t], axis=1)
+        types = jnp.where(
+            (t == 0) & (jnp.arange(2)[None, :] == 0),
+            settings.img_type_id, settings.txt_type_id).astype(jnp.int32)
+        types = jnp.broadcast_to(types, (B, 2))
+        bias = _window_bias(vis, t, L)
+        logits, new_caches = apply(
+            VLPForPreTraining.decode_step, window_ids, pos, types, caches,
+            vis - 1 + t, bias)
+        logits = logits.astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok_logp = jnp.take_along_axis(logp, next_tok[:, None],
+                                       axis=-1)[:, 0]
+        gt_t = gt_tokens[:, t]
+        nll_t = -jnp.take_along_axis(logp, gt_t[:, None], axis=-1)[:, 0]
+        out_ids = out_ids.at[:, t].set(next_tok)
+        out_logp = out_logp.at[:, t].set(tok_logp)
+        gt_nll = gt_nll.at[:, t].set(nll_t)
+        done = done | (next_tok == settings.eos_id)
+        committed = jnp.where(teacher_forcing, gt_t, next_tok)
+        return (new_caches, out_ids, out_logp, gt_nll, committed, done)
+
+    init = (caches, jnp.zeros((B, T), jnp.int32), jnp.zeros((B, T)),
+            jnp.zeros((B, T)), jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.bool_))
+    _, out_ids, out_logp, gt_nll, _, _ = jax.lax.fori_loop(0, T, step, init)
+    return out_ids, out_logp, gt_nll
+
+
+def _gather_beams(tree, parent: jnp.ndarray, B: int, K: int):
+    """Gather along the flattened (B*K) batch dim by per-(B,K) parent beam."""
+    flat_parent = (jnp.arange(B)[:, None] * K + parent).reshape(-1)
+
+    def g(x):
+        return x.reshape((B * K,) + x.shape[1:])[flat_parent]
+
+    return jax.tree_util.tree_map(
+        lambda x: g(x.reshape((B * K,) + x.shape[1:])
+                    if x.shape[0] == B * K else x), tree)
+
+
+def _ngram_forbid_mask(out_ids: jnp.ndarray, t, n: int, vocab: int,
+                       lengths) -> jnp.ndarray:
+    """[BK, V] additive mask forbidding tokens that would complete an n-gram
+    already present in out_ids[:, :t] (reference: model.py:1374-1404).
+    Vectorized over all earlier start positions with position masking."""
+    BK, T = out_ids.shape
+    # context = last n-1 generated tokens ending at t-1
+    idx = t - (n - 1) + jnp.arange(n - 1)          # positions of the context
+    ctx = jnp.take_along_axis(
+        out_ids, jnp.broadcast_to(idx[None, :], (BK, n - 1)).clip(0, T - 1),
+        axis=1)                                     # [BK, n-1]
+    valid_ctx = t >= (n - 1)
+    # candidate historical n-grams starting at s for s+n-1 < t
+    starts = jnp.arange(T)                          # [T]
+    # hist[s] matches ctx iff out_ids[s:s+n-1] == ctx and s+n-1 <= t-1...
+    def gram_at(s):
+        g_idx = (s + jnp.arange(n - 1)).clip(0, T - 1)
+        gram = jnp.take_along_axis(
+            out_ids, jnp.broadcast_to(g_idx[None, :], (BK, n - 1)), axis=1)
+        nxt = jnp.take_along_axis(
+            out_ids, jnp.full((BK, 1), (s + n - 1)).clip(0, T - 1), axis=1)
+        ok = (s + n - 1 <= t - 1) & valid_ctx
+        match = jnp.all(gram == ctx, axis=1) & ok    # [BK]
+        return match, nxt[:, 0]
+
+    match, nxt = jax.vmap(gram_at, out_axes=(1, 1))(starts)  # [BK, T]
+    onehot = jax.nn.one_hot(nxt, vocab, dtype=jnp.float32)   # [BK, T, V]
+    forbid = jnp.einsum("bt,btv->bv", match.astype(jnp.float32), onehot)
+    return jnp.where(forbid > 0, -jnp.inf, 0.0)
+
+
+def beam_search(model: VLPForPreTraining, variables, image,
+                settings: DecodeSettings, cls_id: int, sep_id: int,
+                pixel_indices=None):
+    """Returns (best_ids [B, T], best_scores [B])."""
+    cfg = model.config
+    vis = model.len_vis_input + 2
+    T = settings.max_txt_length
+    K = settings.beam_size
+    L = vis + T + 1
+    B = image.shape[0]
+    V = cfg.vocab_size
+
+    def apply(method, *args, **kwargs):
+        return model.apply(variables, *args, method=method, **kwargs)
+
+    # prefill once at batch B, then broadcast caches to B*K
+    caches = model.bind(variables).bert.init_kv_caches(B, L)
+    seg_ids = _sep_last_ids(cls_id, sep_id, B, vis)
+    seg_types = jnp.full((B, vis), settings.img_type_id, jnp.int32)
+    _, caches = apply(VLPForPreTraining.decode_prefill, image, seg_ids,
+                      seg_types, caches, _prefill_bias(vis, L),
+                      pixel_indices=pixel_indices)
+    caches = jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, K, axis=0), caches)  # [B*K, ...]
+
+    def step(t, carry):
+        caches, out_ids, scores, last_tok, done, lengths = carry
+        BK = B * K
+        prev_committed = jnp.where(t == 0,
+                                   jnp.full((BK,), sep_id, jnp.int32),
+                                   last_tok)
+        window_ids = jnp.stack(
+            [prev_committed,
+             jnp.full((BK,), settings.mask_word_id, jnp.int32)], axis=1)
+        pos = jnp.stack([jnp.full((BK,), vis - 1, jnp.int32) + t,
+                         jnp.full((BK,), vis, jnp.int32) + t], axis=1)
+        types = jnp.broadcast_to(
+            jnp.where((t == 0) & (jnp.arange(2)[None, :] == 0),
+                      settings.img_type_id,
+                      settings.txt_type_id).astype(jnp.int32), (BK, 2))
+        logits, new_caches = apply(
+            VLPForPreTraining.decode_step, window_ids, pos, types, caches,
+            vis - 1 + t, _window_bias(vis, t, L))
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        # min-length: forbid EOS before min_len (reference: model.py:1303)
+        logp = jnp.where(
+            (t < settings.min_len)
+            & (jnp.arange(V)[None, :] == settings.eos_id), -jnp.inf, logp)
+        if settings.forbid_duplicate_ngrams:
+            logp = logp + _ngram_forbid_mask(out_ids, t, settings.ngram_size,
+                                             V, lengths)
+        # finished beams: only EOS continuation at no cost
+        eos_row = jnp.full((V,), -jnp.inf).at[settings.eos_id].set(0.0)
+        logp = jnp.where(done[:, None], eos_row[None, :], logp)
+        total = scores.reshape(B, K, 1) + logp.reshape(B, K, V)
+        # first step: all beams identical -> keep only beam 0
+        total = jnp.where(
+            (t == 0) & (jnp.arange(K)[None, :, None] > 0), -jnp.inf, total)
+        flat = total.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(flat, K)      # [B, K]
+        parent = top_idx // V
+        token = (top_idx % V).astype(jnp.int32)
+
+        new_caches = _gather_beams(new_caches, parent, B, K)
+        out_ids = _gather_beams(out_ids, parent, B, K)
+        done_g = _gather_beams(done, parent, B, K)
+        lengths_g = _gather_beams(lengths, parent, B, K)
+        token_flat = token.reshape(-1)
+        out_ids = out_ids.at[:, t].set(token_flat)
+        new_done = done_g | (token_flat == settings.eos_id)
+        new_lengths = jnp.where(done_g, lengths_g, lengths_g + 1)
+        return (new_caches, out_ids, top_scores.reshape(-1), token_flat,
+                new_done, new_lengths)
+
+    init = (caches, jnp.zeros((B * K, T), jnp.int32),
+            jnp.zeros((B * K,)), jnp.zeros((B * K,), jnp.int32),
+            jnp.zeros((B * K,), jnp.bool_), jnp.zeros((B * K,), jnp.int32))
+    _, out_ids, scores, _, done, lengths = jax.lax.fori_loop(0, T, step, init)
+
+    # length penalty: score / len^alpha (alpha=0 -> raw score, matching the
+    # reference default length_penalty=0)
+    lens = jnp.maximum(lengths.astype(jnp.float32), 1.0)
+    norm = scores / jnp.power(lens, settings.length_penalty)
+    norm = norm.reshape(B, K)
+    best = jnp.argmax(norm, axis=-1)
+    best_ids = out_ids.reshape(B, K, T)[jnp.arange(B), best]
+    best_scores = norm[jnp.arange(B), best]
+    return best_ids, best_scores

@@ -1,0 +1,103 @@
+"""ResNet-50 visual trunk in Flax (torchvision-v1.5-compatible).
+
+The reference uses torchvision's pretrained ResNet-50 minus the last two
+children (avgpool + fc), producing ``B x 2048 x M x M`` fiber maps
+(reference: models/image.py:46-58).  This is the same topology: bottleneck
+blocks with the stride on the 3x3 conv (torchvision v1.5), BatchNorm with
+running stats, so ImageNet weights port 1:1 via
+`medvill_tpu.core.checkpoint.import_torchvision_resnet50`.
+
+TPU notes: NHWC layout (XLA-native on TPU), convs in bf16 with fp32 batch-norm
+statistics.  The partial-freeze policy (torchvision children [5:] trainable =
+layer2..layer4; reference: models/cxrbert_origin.py:66-70) is applied by the
+optimizer via `trainable_mask`, not by the module.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class Bottleneck(nn.Module):
+    features: int  # bottleneck width; out channels = 4*features
+    stride: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        norm = lambda name: nn.BatchNorm(use_running_average=not train,
+                                         momentum=0.9, epsilon=1e-5,
+                                         dtype=jnp.float32, name=name)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = norm("bn1")(y)
+        y = nn.relu(y)
+        # torchvision v1.5: stride lives on the 3x3 conv
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
+                    name="conv2")(y)
+        y = norm("bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = norm("bn3")(y)
+        if self.downsample:
+            residual = nn.Conv(self.features * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            residual = norm("downsample_bn")(residual)
+        return nn.relu(y + residual.astype(y.dtype))
+
+
+class ResNet50Trunk(nn.Module):
+    """conv1..layer4 (no avgpool/fc), returns [B, M, M, 2048] fiber map."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                    padding=[(3, 3), (3, 3)], use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            features = self.width * (2 ** stage)
+            for block in range(n_blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                x = Bottleneck(features=features, stride=stride,
+                               downsample=(block == 0), dtype=self.dtype,
+                               name=f"layer{stage + 1}_{block}")(x, train=train)
+        return x
+
+
+def fibers(feature_map: jnp.ndarray) -> jnp.ndarray:
+    """[B, M, M, C] -> [B, M*M, C] row-major — matches torch
+    ``flatten(start_dim=2).transpose(1, 2)`` on a [B, C, M, M] map
+    (reference: models/image.py:57-58)."""
+    B, H, W, C = feature_map.shape
+    return feature_map.reshape(B, H * W, C)
+
+
+def trainable_mask(params) -> dict:
+    """Pytree of bools: True where trainable under the reference's partial
+    freeze (torchvision children [5:] = layer2, layer3, layer4 trainable;
+    conv1/bn1/layer1 frozen; reference: models/cxrbert_origin.py:66-70)."""
+    import flax
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for path in flat:
+        top = path[0]
+        trainable = top.startswith(("layer2", "layer3", "layer4"))
+        out[path] = trainable
+    return flax.traverse_util.unflatten_dict(out)

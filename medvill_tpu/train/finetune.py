@@ -1,0 +1,111 @@
+"""Report-generation / VQA finetune train step.
+
+Equivalent of sc/finetune.py's train loop over
+``BertForPreTrainingLossMask.forward`` (reference: model.py:968-1054 and
+finetune.py:421-470):
+
+- report-gen: gather masked positions -> tied MLM head -> CE or
+  label-smoothing (reduction none) -> masked-weight normalization with
+  Ruotian-Luo drop-worst (model.py:986-1010);
+- VQA: BCEWithLogits over the 458-way soft target plus the batch score
+  bookkeeping (model.py:1016-1041);
+- BertAdam with manual ``warmup_linear`` lr stepping over t_total
+  (finetune.py:391-395,461-470).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from medvill_tpu.core.config import FinetuneConfig
+from medvill_tpu.data.masks import seq2seq_spec_dense
+from medvill_tpu.models.seq2seq import VLPForPreTraining
+from medvill_tpu.train import optim
+from medvill_tpu.train.losses import (bce_with_logits,
+                                      cross_entropy_per_example,
+                                      drop_worst_normalize,
+                                      label_smoothing_loss)
+from medvill_tpu.train.pretrain import TrainState
+
+
+def build_model(cfg: FinetuneConfig) -> VLPForPreTraining:
+    return VLPForPreTraining(cfg.bert, cfg.image,
+                             len_vis_input=cfg.len_vis_input, task=cfg.task,
+                             n_answers=cfg.vqa_num_answers)
+
+
+def finetune_bias(mask_spec: jnp.ndarray, len_vis_input: int, max_len: int,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    dense = seq2seq_spec_dense(mask_spec[:, 0], mask_spec[:, 1],
+                               len_vis_input, max_len)
+    return ((1.0 - dense.astype(dtype)) * -10000.0)[:, None, :, :]
+
+
+def make_train_step(model: VLPForPreTraining, tx, cfg: FinetuneConfig,
+                    t_total: int, attention_fn=None):
+    def train_step(state: TrainState, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        bias = finetune_bias(batch["mask_spec"], cfg.len_vis_input,
+                             cfg.max_seq_length)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if cfg.task == "vqa":
+                logits, updates = model.apply(
+                    variables, batch["image"], batch["input_ids"],
+                    batch["segment_ids"], bias, deterministic=False,
+                    train_cnn=True, attention_fn=attention_fn,
+                    rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+                loss = bce_with_logits(logits, batch["ans_target"])
+                score = jnp.take_along_axis(
+                    batch["ans_target"],
+                    jnp.argmax(logits, -1)[:, None], axis=1)[:, 0]
+                aux = {"vqa_loss": loss, "batch_score": score.sum(),
+                       "n": jnp.asarray(logits.shape[0])}
+            else:
+                logits, updates = model.apply(
+                    variables, batch["image"], batch["input_ids"],
+                    batch["segment_ids"], bias,
+                    masked_pos=batch["masked_pos"], deterministic=False,
+                    train_cnn=True, attention_fn=attention_fn,
+                    rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+                if cfg.label_smoothing > 0:
+                    per_pos = label_smoothing_loss(
+                        logits, batch["masked_ids"], cfg.label_smoothing,
+                        cfg.bert.vocab_size, ignore_index=0)
+                else:
+                    per_pos = cross_entropy_per_example(logits,
+                                                        batch["masked_ids"])
+                loss = drop_worst_normalize(per_pos, batch["masked_weights"],
+                                            cfg.drop_prob)
+                aux = {"masked_lm_loss": loss}
+            aux["loss"] = loss
+            return loss, (aux, updates.get("batch_stats", state.batch_stats))
+
+        (loss, (aux, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        # manual warmup_linear lr (finetune.py:461-470)
+        x = state.step.astype(jnp.float32) / t_total
+        lr_t = cfg.lr * optim.warmup_linear(x, cfg.warmup)
+        updates = jax.tree_util.tree_map(lambda u: -lr_t * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_bs, opt_state=new_opt), aux
+
+    return train_step
+
+
+def make_finetune_tx(cfg: FinetuneConfig) -> optax.GradientTransformation:
+    """BertAdam core without the lr scale (applied in-step); no-decay
+    grouping per finetune.py:383-390."""
+    return optax.chain(
+        optim.clip_per_tensor_norm(1.0),
+        optim.scale_by_adam_no_bias_correction(eps=1e-6),
+        optax.masked(optax.add_decayed_weights(cfg.weight_decay),
+                     optim.no_decay_mask),
+    )

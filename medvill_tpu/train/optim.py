@@ -1,0 +1,164 @@
+"""Optimizers and LR schedules as optax transforms.
+
+- `adamw`: HF AdamW as used by the pretrain trainer — betas (0.9, 0.999),
+  eps 1e-6, weight decay 0 (reference: models/train_origin.py:60; HF v3
+  defaults).
+- `bert_adam`: the vendored BertAdam — Adam *without* bias correction,
+  decoupled weight decay, per-parameter-tensor grad-norm clipping at 1.0, and
+  a per-step warmup schedule (reference:
+  sc/pytorch_pretrained_bert/optimization.py:33-182).  Schedules:
+  warmup_linear / warmup_constant / warmup_cosine
+  (optimization.py:32-44 — note warmup_linear decays as
+  ``max((x-1)/(warmup-1), 0)``).
+- `noam`: the unused-but-present ScheduledOptim wrapper
+  (reference: models/optim_schedule.py:5-41).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def warmup_linear(x, warmup=0.002):
+    return jnp.where(x < warmup, x / warmup,
+                     jnp.maximum((x - 1.0) / (warmup - 1.0), 0.0))
+
+
+def warmup_constant(x, warmup=0.002):
+    return jnp.where(x < warmup, x / warmup, 1.0)
+
+
+def warmup_cosine(x, warmup=0.002):
+    return jnp.where(x < warmup, x / warmup,
+                     0.5 * (1.0 + jnp.cos(jnp.pi * x)))
+
+
+SCHEDULES = {
+    "warmup_linear": warmup_linear,
+    "warmup_constant": warmup_constant,
+    "warmup_cosine": warmup_cosine,
+}
+
+
+def adamw(lr: float, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-6,
+          weight_decay: float = 0.0) -> optax.GradientTransformation:
+    return optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+
+
+def clip_per_tensor_norm(max_norm: float) -> optax.GradientTransformation:
+    """BertAdam clips each parameter tensor's grad norm independently
+    (reference: optimization.py:146-148, clip_grad_norm_(p, max_norm))."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip(g):
+            norm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+            scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+            return (g * scale).astype(g.dtype)
+
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def scale_by_adam_no_bias_correction(b1: float = 0.9, b2: float = 0.999,
+                                     eps: float = 1e-6):
+    """m/(sqrt(v)+eps) with no bias correction (optimization.py:155-158)."""
+
+    def init_fn(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(jnp.zeros_like, params),
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g,
+                                    state.mu, updates)
+        nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                                    state.nu, updates)
+        upd = jax.tree_util.tree_map(lambda m, v: m / (jnp.sqrt(v) + eps),
+                                     mu, nu)
+        return upd, optax.ScaleByAdamState(count=state.count + 1, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def no_decay_mask(params) -> dict:
+    """Reference param grouping: no weight decay for bias / LayerNorm
+    weights (reference: sc/finetune.py:383-390, mmbt/main.py:110-120).
+    Returns True where decay applies."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for path in flat:
+        last = path[-1]
+        is_no_decay = (last == "bias") or any(
+            "LayerNorm" in p or p == "ln" for p in path) or (
+            last in ("scale",))  # flax LayerNorm scale == torch LN weight
+        out[path] = not is_no_decay
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def bert_adam(lr: float, warmup: float = -1.0, t_total: int = -1,
+              schedule: str = "warmup_linear", b1: float = 0.9,
+              b2: float = 0.999, eps: float = 1e-6,
+              weight_decay: float = 0.01, max_grad_norm: float = 1.0,
+              decay_mask_fn: Optional[Callable] = None
+              ) -> optax.GradientTransformation:
+    """The vendored BertAdam as a single optax chain."""
+
+    chain = []
+    if max_grad_norm > 0:
+        chain.append(clip_per_tensor_norm(max_grad_norm))
+    chain.append(scale_by_adam_no_bias_correction(b1, b2, eps))
+    if weight_decay > 0:
+        if decay_mask_fn is not None:
+            chain.append(optax.masked(
+                optax.add_decayed_weights(weight_decay), decay_mask_fn))
+        else:
+            chain.append(optax.add_decayed_weights(weight_decay))
+
+    if t_total != -1:
+        sched = SCHEDULES[schedule]
+
+        def lr_fn(count):
+            x = count.astype(jnp.float32) / t_total
+            return lr * sched(x, warmup if warmup != -1 else 0.002)
+
+        chain.append(optax.scale_by_schedule(lambda c: -lr_fn(c)))
+    else:
+        chain.append(optax.scale(-lr))
+    return optax.chain(*chain)
+
+
+def noam_schedule(d_model: int, n_warmup_steps: int) -> Callable:
+    """Noam LR (reference: models/optim_schedule.py:29-41):
+    d_model^-0.5 * min(step^-0.5, step * warmup^-1.5)."""
+
+    def fn(step):
+        s = jnp.maximum(step.astype(jnp.float32), 1.0)
+        return (d_model ** -0.5) * jnp.minimum(
+            s ** -0.5, s * (n_warmup_steps ** -1.5))
+
+    return fn
+
+
+def masked_trainable(tx: optax.GradientTransformation,
+                     trainable_mask) -> optax.GradientTransformation:
+    """Freeze params where mask is False (reference partial CNN freeze,
+    models/cxrbert_origin.py:66-70, and the classification-time re-freeze of
+    img/txt submodules, mmbt/main.py:204-209)."""
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()},
+        jax.tree_util.tree_map(
+            lambda t: "train" if t else "freeze", trainable_mask))

@@ -1,0 +1,183 @@
+"""Pretraining: one pjit-compiled train step (MLM + ITM).
+
+Equivalent of ``CXRBERT_Trainer`` (reference: models/train_origin.py): loss =
+CE(mlm, ignore -100) + CE(itm), AdamW, per-step MLM/ITM accuracy bookkeeping
+(reference: train_origin.py:108-146) — computed on device instead of host
+numpy.
+
+TPU design: ``train_step(state, batch, rng) -> (state, metrics)`` is jit'd
+once over a 1-D data mesh (batch sharded on axis 0, params replicated); XLA
+inserts the gradient all-reduce over ICI.  The reference's nn.DataParallel
+scatter/gather (train_origin.py:53-55) has no equivalent code here — the
+compiler owns communication.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from medvill_tpu.core.config import PretrainConfig
+from medvill_tpu.models.cxrbert import CXRBERT
+from medvill_tpu.train import optim
+from medvill_tpu.train.losses import cross_entropy_ignore_index
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    @property
+    def all_params(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def build_model(cfg: PretrainConfig) -> CXRBERT:
+    return CXRBERT(cfg.bert, cfg.image, img_position=cfg.img_position)
+
+
+def init_state(cfg: PretrainConfig, rng: jax.Array,
+               tx: Optional[optax.GradientTransformation] = None
+               ) -> Tuple[CXRBERT, TrainState]:
+    model = build_model(cfg)
+    B = 2
+    L_txt = cfg.seq_len + 1
+    N = cfg.image.num_image_embeds
+    dummy = dict(
+        cls_tok=jnp.zeros((B, 1), jnp.int32),
+        input_txt=jnp.zeros((B, L_txt), jnp.int32),
+        mask_spec=jnp.zeros((B, 2), jnp.int32),
+        segment=jnp.ones((B, L_txt), jnp.int32),
+        image=jnp.zeros((B, cfg.image.img_size, cfg.image.img_size,
+                         cfg.image.img_channel), jnp.float32),
+        sep_tok=jnp.zeros((B, 1), jnp.int32),
+    )
+    pixel_indices = jnp.arange(N, dtype=jnp.int32)
+    variables = model.init(
+        {"params": rng}, dummy["cls_tok"], dummy["input_txt"],
+        dummy["mask_spec"], dummy["segment"], dummy["image"],
+        dummy["sep_tok"], pixel_indices=pixel_indices, deterministic=True,
+        disturbing=cfg.disturbing_mask)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if tx is None:
+        tx = optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps,
+                         cfg.weight_decay)
+    opt_state = tx.init(params)
+    state = TrainState(step=jnp.zeros([], jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=opt_state)
+    return model, state
+
+
+def sample_pixel_indices(rng: jax.Array, num_fibers: int,
+                         num_image_embeds: int) -> jnp.ndarray:
+    """Random-pixel sampling: sorted randperm(M)[:N], one draw per step
+    shared across the batch (reference: models/image.py:63-68)."""
+    perm = jax.random.permutation(rng, num_fibers)[:num_image_embeds]
+    return jnp.sort(perm).astype(jnp.int32)
+
+
+def pretrain_loss_and_metrics(model: CXRBERT, params, batch_stats, batch,
+                              dropout_rng, pixel_indices, cfg: PretrainConfig,
+                              train: bool, attention_fn=None):
+    variables = {"params": params, "batch_stats": batch_stats}
+    mutable = ["batch_stats"] if train else False
+    outs = model.apply(
+        variables, batch["cls_tok"], batch["input_txt"], batch["mask_spec"],
+        batch["segment"], batch["image"], batch["sep_tok"],
+        pixel_indices=pixel_indices, deterministic=not train,
+        train_cnn=train, disturbing=cfg.disturbing_mask,
+        attention_fn=attention_fn,
+        rngs={"dropout": dropout_rng} if train else {},
+        mutable=mutable)
+    if train:
+        (mlm_logits, itm_logits), updates = outs
+        new_batch_stats = updates.get("batch_stats", batch_stats)
+    else:
+        mlm_logits, itm_logits = outs
+        new_batch_stats = batch_stats
+
+    metrics: Dict[str, jnp.ndarray] = {}
+    total = 0.0
+    if cfg.mlm_task:
+        mlm_loss, n_valid = cross_entropy_ignore_index(
+            mlm_logits, batch["txt_labels"])
+        total = total + mlm_loss
+        pred = jnp.argmax(mlm_logits, axis=-1)
+        valid = batch["txt_labels"] != -100
+        correct = ((pred == batch["txt_labels"]) & valid).sum()
+        metrics["mlm_loss"] = mlm_loss
+        metrics["mlm_correct"] = correct
+        metrics["mlm_total"] = n_valid
+    if cfg.itm_task:
+        itm_labels = batch["is_aligned"].astype(jnp.int32)
+        logz = jax.nn.logsumexp(itm_logits.astype(jnp.float32), axis=-1)
+        gold = jnp.take_along_axis(itm_logits.astype(jnp.float32),
+                                   itm_labels[:, None], axis=-1)[:, 0]
+        itm_loss = (logz - gold).mean()
+        total = total + itm_loss
+        metrics["itm_loss"] = itm_loss
+        metrics["itm_correct"] = (
+            jnp.argmax(itm_logits, -1) == itm_labels).sum()
+        metrics["itm_total"] = jnp.asarray(itm_labels.shape[0], jnp.int32)
+    metrics["loss"] = total
+    return total, (metrics, new_batch_stats)
+
+
+def make_train_step(model: CXRBERT, tx: optax.GradientTransformation,
+                    cfg: PretrainConfig, attention_fn=None):
+    """Returns jit-able (state, batch, rng) -> (state, metrics)."""
+
+    num_fibers = cfg.image.num_fibers
+
+    def train_step(state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        pix_rng, dropout_rng = jax.random.split(step_rng)
+        if cfg.image.encoder == "random-pixel":
+            pixel_indices = sample_pixel_indices(
+                pix_rng, num_fibers, cfg.image.num_image_embeds)
+        else:
+            pixel_indices = None
+
+        def loss_fn(params):
+            return pretrain_loss_and_metrics(
+                model, params, state.batch_stats, batch, dropout_rng,
+                pixel_indices, cfg, train=True, attention_fn=attention_fn)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_bs)), grads = grad_fn(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_bs, opt_state=new_opt)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: CXRBERT, cfg: PretrainConfig, attention_fn=None):
+    def eval_step(state: TrainState, batch):
+        if cfg.image.encoder == "random-pixel":
+            # eval uses the same random-sampling path; fix a deterministic
+            # permutation per eval (reference keeps sampling randomly —
+            # train_origin.py:171-252 uses the same model forward)
+            pixel_indices = sample_pixel_indices(
+                jax.random.PRNGKey(0), cfg.image.num_fibers,
+                cfg.image.num_image_embeds)
+        else:
+            pixel_indices = None
+        _, (metrics, _) = pretrain_loss_and_metrics(
+            model, state.params, state.batch_stats, batch,
+            jax.random.PRNGKey(0), pixel_indices, cfg, train=False,
+            attention_fn=attention_fn)
+        return metrics
+
+    return eval_step

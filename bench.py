@@ -27,6 +27,12 @@ A100_EQUIV_PAIRS_PER_SEC = 70.0
 
 
 def main() -> None:
+    import os
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                          PretrainConfig)
     from medvill_tpu.train import optim
@@ -66,14 +72,18 @@ def main() -> None:
     key = jax.random.PRNGKey(1)
 
     step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
-    # warmup / compile
+    # warmup / compile; synchronize with a device->host read — on this
+    # platform block_until_ready returns before execution retires, so a
+    # float() read is the only reliable fence
     state, m = step(state, dev_batch, key)
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])
     t0 = time.perf_counter()
+    losses = []
     for _ in range(steps):
         state, m = step(state, dev_batch, key)
-    jax.block_until_ready(m["loss"])
+        losses.append(float(m["loss"]))  # per-step host sync
     dt = time.perf_counter() - t0
+    assert all(np.isfinite(losses)), losses
 
     pairs_per_sec = batch * steps / dt
     print(json.dumps({

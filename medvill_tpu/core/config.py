@@ -184,6 +184,9 @@ class PretrainConfig:
     mesh_shape: Tuple[int, ...] = (-1,)     # -1 = all devices on the data axis
     use_flash_attention: bool = True
     donate_state: bool = True
+    # MLM loss position-chunk size; full [B,L,V] logits OOM HBM at the
+    # reference batch-36 config, so the loss streams over text chunks
+    mlm_loss_chunk: int = 128
 
     def resolve_variant(self) -> "MaskVariant | None":
         """Map flags to a static variant; MIXED (per-sample) returns None."""

@@ -47,6 +47,27 @@ class CXRBERT(nn.Module):
         """Expose (sequence, pooled) for retrieval/feature use."""
         return self.enc(*args, **kwargs)
 
+    def features(self, cls_tok, input_txt, mask_spec, segment, image,
+                 sep_tok, pixel_indices=None, deterministic: bool = True,
+                 train_cnn: bool = False, disturbing: bool = False,
+                 attention_fn=None):
+        """(sequence, pooled) without head projections — lets the train step
+        compute the MLM loss in position chunks so the [B, L, vocab] logits
+        are never materialized (the full-logit path OOMs HBM at the
+        reference's batch-36/seq-436 config)."""
+        return self.enc(cls_tok, input_txt, mask_spec, segment, image,
+                        sep_tok, pixel_indices=pixel_indices,
+                        deterministic=deterministic, train_cnn=train_cnn,
+                        disturbing=disturbing, attention_fn=attention_fn)
+
+    def mlm_chunk(self, hidden_chunk):
+        """Tied MLM head over a position chunk [B, C, H] -> [B, C, V]."""
+        word_emb = self.enc.embeddings.word_embeddings.embedding
+        return self.mlm(hidden_chunk, word_emb)
+
+    def itm_logits(self, pooled):
+        return self.itm(pooled)
+
     def itm_forward(self, cls_tok, input_txt, mask_spec, segment, image,
                     sep_tok, pixel_indices=None, deterministic: bool = True,
                     train_cnn: bool = False, attention_fn=None):

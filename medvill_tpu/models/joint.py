@@ -154,7 +154,10 @@ class JointEncoder(nn.Module):
             encoder_input = jnp.concatenate(
                 [cls_out, img_embed, sep_out, txt_embed], axis=1)
 
-        bias = bias_from_spec(mask_spec, geom)
+        # with a kernel attention_fn the spec IS the mask — never
+        # materialize the [B, 1, L, L] bias
+        bias = (None if attention_fn is not None
+                else bias_from_spec(mask_spec, geom))
         hidden, _ = self.encoder(encoder_input, bias,
                                  deterministic=deterministic,
                                  attention_fn=attention_fn)

@@ -92,7 +92,7 @@ class MultimodalBertEncoder(nn.Module):
         geom = MaskGeometry(num_image_embeds=N, seq_len=T - 1)
         spec = jnp.stack(
             [jnp.full_like(txt_len, int(MaskVariant.FULL)), txt_len], axis=-1)
-        bias = bias_from_spec(spec, geom)
+        bias = None if attention_fn is not None else bias_from_spec(spec, geom)
 
         hidden, _ = self.encoder(encoder_input, bias,
                                  deterministic=deterministic,

@@ -84,13 +84,16 @@ def make_train_step(model: MultimodalBertClf, tx, cfg: ClassificationConfig,
 
     def train_step(state: TrainState, batch, rng, lr_scale):
         dropout_rng = jax.random.fold_in(rng, state.step)
+        local_attention_fn = attention_fn
+        if local_attention_fn is None and cfg.use_flash_attention:
+            local_attention_fn = _clf_flash_fn(cfg, batch)
 
         def loss_fn(params):
             out, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["input_txt"], batch["txt_len"], batch["segment"],
                 batch["image"], cls_id, sep_id, deterministic=False,
-                train_cnn=True, attention_fn=attention_fn,
+                train_cnn=True, attention_fn=local_attention_fn,
                 rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
             if pw is not None:
                 loss = weighted_bce_with_logits(out, batch["label"], pw)
@@ -114,16 +117,35 @@ def make_train_step(model: MultimodalBertClf, tx, cfg: ClassificationConfig,
 
 
 def make_eval_step(model: MultimodalBertClf, cls_id: int, sep_id: int,
-                   attention_fn=None):
+                   attention_fn=None, cfg: "ClassificationConfig" = None):
     def eval_step(state: TrainState, batch):
+        local_attention_fn = attention_fn
+        if (local_attention_fn is None and cfg is not None
+                and cfg.use_flash_attention):
+            local_attention_fn = _clf_flash_fn(cfg, batch)
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["input_txt"], batch["txt_len"], batch["segment"],
             batch["image"], cls_id, sep_id, deterministic=True,
-            attention_fn=attention_fn)
+            attention_fn=local_attention_fn)
         return out
 
     return eval_step
+
+
+def _clf_flash_fn(cfg: ClassificationConfig, batch):
+    """FULL-mask flash attention for the MMBT layout: spec rebuilt from
+    txt_len exactly as MultimodalBertEncoder does internally."""
+    from medvill_tpu.core.config import MaskVariant
+    from medvill_tpu.ops.flash_attention import (FAMILY_PRETRAIN,
+                                                 make_attention_fn)
+
+    txt_len = batch["txt_len"]
+    spec = jnp.stack(
+        [jnp.full_like(txt_len, int(MaskVariant.FULL)), txt_len], axis=-1)
+    return make_attention_fn(
+        spec, cfg.image.num_image_embeds + 2, family=FAMILY_PRETRAIN,
+        dropout_rate=cfg.bert.attention_probs_dropout_prob)
 
 
 class PlateauScheduler:

@@ -49,8 +49,18 @@ def make_train_step(model: VLPForPreTraining, tx, cfg: FinetuneConfig,
                     t_total: int, attention_fn=None):
     def train_step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
-        bias = finetune_bias(batch["mask_spec"], cfg.len_vis_input,
-                             cfg.max_seq_length)
+        local_attention_fn = attention_fn
+        if local_attention_fn is None and cfg.use_flash_attention:
+            from medvill_tpu.ops.flash_attention import (FAMILY_SEQ2SEQ,
+                                                         make_attention_fn)
+
+            local_attention_fn = make_attention_fn(
+                batch["mask_spec"], cfg.len_vis_input + 2,
+                family=FAMILY_SEQ2SEQ,
+                dropout_rate=cfg.bert.attention_probs_dropout_prob)
+        bias = (None if local_attention_fn is not None else
+                finetune_bias(batch["mask_spec"], cfg.len_vis_input,
+                              cfg.max_seq_length))
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -58,7 +68,7 @@ def make_train_step(model: VLPForPreTraining, tx, cfg: FinetuneConfig,
                 logits, updates = model.apply(
                     variables, batch["image"], batch["input_ids"],
                     batch["segment_ids"], bias, deterministic=False,
-                    train_cnn=True, attention_fn=attention_fn,
+                    train_cnn=True, attention_fn=local_attention_fn,
                     rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
                 loss = bce_with_logits(logits, batch["ans_target"])
                 score = jnp.take_along_axis(
@@ -71,7 +81,7 @@ def make_train_step(model: VLPForPreTraining, tx, cfg: FinetuneConfig,
                     variables, batch["image"], batch["input_ids"],
                     batch["segment_ids"], bias,
                     masked_pos=batch["masked_pos"], deterministic=False,
-                    train_cnn=True, attention_fn=attention_fn,
+                    train_cnn=True, attention_fn=local_attention_fn,
                     rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
                 if cfg.label_smoothing > 0:
                     per_pos = label_smoothing_loss(

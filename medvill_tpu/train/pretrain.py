@@ -85,9 +85,58 @@ def sample_pixel_indices(rng: jax.Array, num_fibers: int,
     return jnp.sort(perm).astype(jnp.int32)
 
 
+def _chunked_mlm_loss(model: CXRBERT, params, txt_hidden, txt_labels,
+                      chunk: int = 128):
+    """Exact CE(ignore=-100, mean over valid) computed in position chunks.
+
+    Each chunk's [B, C, V] logits live only inside a jax.checkpoint region,
+    so forward keeps one chunk's logits and backward recomputes per chunk.
+    Semantics identical to torch CrossEntropyLoss over the full logits
+    (reference: models/train_origin.py:62,108-126).
+    """
+    B, T, H = txt_hidden.shape
+    pad = (-T) % chunk
+    if pad:
+        txt_hidden = jnp.pad(txt_hidden, ((0, 0), (0, pad), (0, 0)))
+        txt_labels = jnp.pad(txt_labels, ((0, 0), (0, pad)),
+                             constant_values=-100)
+    n_chunks = txt_hidden.shape[1] // chunk
+    h = txt_hidden.reshape(B, n_chunks, chunk, H).transpose(1, 0, 2, 3)
+    l = txt_labels.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def chunk_stats(h_c, l_c):
+        logits = model.apply({"params": params}, h_c,
+                             method=CXRBERT.mlm_chunk).astype(jnp.float32)
+        valid = l_c != -100
+        safe = jnp.where(valid, l_c, 0)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+        nll = jnp.where(valid, logz - gold, 0.0).sum()
+        correct = ((jnp.argmax(logits, -1) == l_c) & valid).sum()
+        return nll, correct, valid.sum()
+
+    def body(carry, xs):
+        h_c, l_c = xs
+        nll, correct, n = chunk_stats(h_c, l_c)
+        return (carry[0] + nll, carry[1] + correct, carry[2] + n), None
+
+    (nll, correct, n), _ = jax.lax.scan(
+        body, (jnp.float32(0.0), jnp.int32(0), jnp.int32(0)), (h, l))
+    return nll / jnp.maximum(n, 1), correct, n
+
+
 def pretrain_loss_and_metrics(model: CXRBERT, params, batch_stats, batch,
                               dropout_rng, pixel_indices, cfg: PretrainConfig,
                               train: bool, attention_fn=None):
+    if attention_fn is None and cfg.use_flash_attention:
+        from medvill_tpu.ops.flash_attention import (FAMILY_PRETRAIN,
+                                                     make_attention_fn)
+
+        attention_fn = make_attention_fn(
+            batch["mask_spec"], cfg.image.num_image_embeds + 2,
+            family=FAMILY_PRETRAIN,
+            dropout_rate=cfg.bert.attention_probs_dropout_prob)
     variables = {"params": params, "batch_stats": batch_stats}
     mutable = ["batch_stats"] if train else False
     outs = model.apply(
@@ -97,23 +146,30 @@ def pretrain_loss_and_metrics(model: CXRBERT, params, batch_stats, batch,
         train_cnn=train, disturbing=cfg.disturbing_mask,
         attention_fn=attention_fn,
         rngs={"dropout": dropout_rng} if train else {},
-        mutable=mutable)
+        mutable=mutable, method=CXRBERT.features)
     if train:
-        (mlm_logits, itm_logits), updates = outs
+        (sequence, pooled), updates = outs
         new_batch_stats = updates.get("batch_stats", batch_stats)
     else:
-        mlm_logits, itm_logits = outs
+        sequence, pooled = outs
         new_batch_stats = batch_stats
+    itm_logits = model.apply({"params": params}, pooled,
+                             method=CXRBERT.itm_logits)
 
     metrics: Dict[str, jnp.ndarray] = {}
     total = 0.0
     if cfg.mlm_task:
-        mlm_loss, n_valid = cross_entropy_ignore_index(
-            mlm_logits, batch["txt_labels"])
+        # chunked MLM loss: image positions carry no labels (all -100;
+        # data/pretrain.py txt_labels_i), so only text positions are
+        # projected, in checkpointed chunks — the full [B, L, V] logit
+        # tensor (1.8 GB at the reference config) never exists.
+        I2 = cfg.image.num_image_embeds + 2
+        txt_hidden = sequence[:, I2:]
+        txt_labels = batch["txt_labels"][:, I2:]
+        mlm_loss, correct, n_valid = _chunked_mlm_loss(
+            model, params, txt_hidden, txt_labels,
+            chunk=cfg.mlm_loss_chunk)
         total = total + mlm_loss
-        pred = jnp.argmax(mlm_logits, axis=-1)
-        valid = batch["txt_labels"] != -100
-        correct = ((pred == batch["txt_labels"]) & valid).sum()
         metrics["mlm_loss"] = mlm_loss
         metrics["mlm_correct"] = correct
         metrics["mlm_total"] = n_valid

@@ -35,6 +35,15 @@ def make_train_step(model: CXRBERT, tx, cfg: RetrievalConfig,
         pixel_indices = (sample_pixel_indices(pix_rng, num_fibers,
                                               cfg.image.num_image_embeds)
                          if cfg.image.encoder == "random-pixel" else None)
+        local_attention_fn = attention_fn
+        if local_attention_fn is None and cfg.use_flash_attention:
+            from medvill_tpu.ops.flash_attention import (FAMILY_PRETRAIN,
+                                                         make_attention_fn)
+
+            local_attention_fn = make_attention_fn(
+                batch["mask_spec"], cfg.image.num_image_embeds + 2,
+                family=FAMILY_PRETRAIN,
+                dropout_rate=cfg.bert.attention_probs_dropout_prob)
 
         def loss_fn(params):
             logits, updates = model.apply(
@@ -42,7 +51,7 @@ def make_train_step(model: CXRBERT, tx, cfg: RetrievalConfig,
                 batch["cls_tok"], batch["input_txt"], batch["mask_spec"],
                 batch["segment"], batch["image"], batch["sep_tok"],
                 pixel_indices=pixel_indices, deterministic=False,
-                train_cnn=True, attention_fn=attention_fn,
+                train_cnn=True, attention_fn=local_attention_fn,
                 rngs={"dropout": dropout_rng}, mutable=["batch_stats"],
                 method=CXRBERT.itm_forward)
             labels = batch["is_aligned"].astype(jnp.int32)
@@ -73,12 +82,20 @@ def make_score_step(model: CXRBERT, cfg: RetrievalConfig, attention_fn=None):
             jax.random.PRNGKey(0), cfg.image.num_fibers,
             cfg.image.num_image_embeds)
             if cfg.image.encoder == "random-pixel" else None)
+        local_attention_fn = attention_fn
+        if local_attention_fn is None and cfg.use_flash_attention:
+            from medvill_tpu.ops.flash_attention import (FAMILY_PRETRAIN,
+                                                         make_attention_fn)
+
+            local_attention_fn = make_attention_fn(
+                batch["mask_spec"], cfg.image.num_image_embeds + 2,
+                family=FAMILY_PRETRAIN)
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["cls_tok"], batch["input_txt"], batch["mask_spec"],
             batch["segment"], batch["image"], batch["sep_tok"],
             pixel_indices=pixel_indices, deterministic=True,
-            attention_fn=attention_fn, method=CXRBERT.itm_forward)
+            attention_fn=local_attention_fn, method=CXRBERT.itm_forward)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
 
     return score_step

@@ -101,6 +101,28 @@ def torch_remap(state_dict: Dict[str, Any], mapping: str) -> Dict[str, Any]:
     return out
 
 
+def resize_position_embeddings(params: dict, new_size: int) -> dict:
+    """Position-embedding resize on checkpoint load: copy min(old, new) rows,
+    keep the target init for the remainder (reference trick:
+    sc/pytorch_pretrained_bert/model.py:670-687).  ``params`` is an
+    embeddings subtree containing position_embeddings/embedding."""
+    import copy
+
+    out = copy.deepcopy(params)
+    table = np.asarray(out["position_embeddings"]["embedding"])
+    old = table.shape[0]
+    if old == new_size:
+        return out
+    new = np.zeros((new_size, table.shape[1]), table.dtype)
+    if old > new_size:
+        new[:] = table[:new_size]
+    else:
+        new[:old] = table
+        new[old:] = table[-1]  # extend with the last learned row
+    out["position_embeddings"]["embedding"] = new
+    return out
+
+
 def import_torchvision_resnet50(state_dict: Dict[str, "np.ndarray"]) -> dict:
     """torchvision resnet50 state_dict -> our ResNet50Trunk
     {params, batch_stats} pytrees.

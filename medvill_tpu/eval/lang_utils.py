@@ -1,0 +1,36 @@
+"""Optional COCO-caption evaluation wrapper.
+
+Equivalent of ``language_eval`` (reference: sc/lang_utils.py:12-60), which
+wraps the external ``pycocoevalcap`` package (unused by the reference's main
+path).  The package is not in this image; when importable we use it, else we
+fall back to the native corpus BLEU so callers always get metrics.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+
+def language_eval(preds: Sequence[Dict], model_id: str = "",
+                  split: str = "test") -> Dict[str, float]:
+    """preds: [{'image_id': ..., 'caption': ..., 'gt_caption': ...}]."""
+    try:
+        from pycocoevalcap.bleu.bleu import Bleu
+        from pycocoevalcap.cider.cider import Cider
+        from pycocoevalcap.meteor.meteor import Meteor
+        from pycocoevalcap.rouge.rouge import Rouge
+
+        gts = {i: [p["gt_caption"]] for i, p in enumerate(preds)}
+        res = {i: [p["caption"]] for i, p in enumerate(preds)}
+        out: Dict[str, float] = {}
+        bleu, _ = Bleu(4).compute_score(gts, res)
+        for n, b in enumerate(bleu, 1):
+            out[f"Bleu_{n}"] = float(b)
+        for scorer, name in ((Meteor(), "METEOR"), (Rouge(), "ROUGE_L"),
+                             (Cider(), "CIDEr")):
+            score, _ = scorer.compute_score(gts, res)
+            out[name] = float(score)
+        return out
+    except ImportError:
+        from medvill_tpu.eval.bleu import language_eval_bleu
+
+        return language_eval_bleu(list(preds))

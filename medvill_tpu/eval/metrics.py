@@ -19,20 +19,31 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 
-def compute_ranks(similarities: np.ndarray, labels: np.ndarray
-                  ) -> List[int]:
+def compute_ranks(similarities: np.ndarray, labels: np.ndarray,
+                  idx_lst: np.ndarray | None = None
+                  ) -> List[int] | Tuple[List[int], List[list]]:
     """similarities/labels: [n_queries, pool_size].  Per query: sort
     descending, rank = index of first aligned candidate (pool_size if none)
-    (reference: full_dset_retrieval.py:250-275)."""
+    (reference: full_dset_retrieval.py:250-275).
+
+    With ``idx_lst`` also returns the per-query ``Aligned_lst``
+    ``[candidate_index, rank]`` the reference dumps to JSON
+    (full_dset_retrieval.py:269,419-429)."""
     ranks = []
-    for lab, sim in zip(labels, similarities):
+    aligned_lst = []
+    for qi, (lab, sim) in enumerate(zip(labels, similarities)):
         inds = np.argsort(sim)[::-1]
         rank = sim.shape[-1]
+        ind = inds[-1]
         for r, ind in enumerate(inds):
             if lab[ind] == 1:
                 rank = r
                 break
         ranks.append(rank)
+        if idx_lst is not None:
+            aligned_lst.append([int(idx_lst[qi][ind]), int(rank)])
+    if idx_lst is not None:
+        return ranks, aligned_lst
     return ranks
 
 

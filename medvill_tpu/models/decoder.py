@@ -48,6 +48,9 @@ class DecodeSettings:
     ngram_size: int = 3
     min_len: int = 0
     new_segment_ids: bool = True
+    # vocab ids exempt from ngram forbidding (reference forbid_ignore_set,
+    # model.py:1144 — e.g. punctuation ids); tuple for hashability
+    forbid_ignore_ids: tuple = ()
 
     @property
     def img_type_id(self) -> int:
@@ -243,8 +246,14 @@ def beam_search(model: VLPForPreTraining, variables, image,
             (t < settings.min_len)
             & (jnp.arange(V)[None, :] == settings.eos_id), -jnp.inf, logp)
         if settings.forbid_duplicate_ngrams:
-            logp = logp + _ngram_forbid_mask(out_ids, t, settings.ngram_size,
-                                             V, lengths)
+            forbid = _ngram_forbid_mask(out_ids, t, settings.ngram_size,
+                                        V, lengths)
+            if settings.forbid_ignore_ids:
+                exempt = jnp.zeros((V,), jnp.bool_)
+                for wid in settings.forbid_ignore_ids:
+                    exempt = exempt.at[wid].set(True)
+                forbid = jnp.where(exempt[None, :], 0.0, forbid)
+            logp = logp + forbid
         # finished beams: only EOS continuation at no cost
         eos_row = jnp.full((V,), -jnp.inf).at[settings.eos_id].set(0.0)
         logp = jnp.where(done[:, None], eos_row[None, :], logp)

@@ -102,18 +102,34 @@ def make_score_step(model: CXRBERT, cfg: RetrievalConfig, attention_fn=None):
 
 
 def run_retrieval_eval(score_step, state, batches, eval_len_size: int,
-                       direction: str = "i2t"):
+                       direction: str = "i2t",
+                       rank_dump_path: Optional[str] = None):
     """Collect scores + is_aligned over the pool, reshape to
-    [n_queries, pool], evaluate (full_dset_retrieval.py:577-643)."""
-    scores, labels = [], []
+    [n_queries, pool], evaluate (full_dset_retrieval.py:577-643).  With
+    ``rank_dump_path`` also writes the per-query [candidate_idx, rank] JSON
+    the reference dumps (full_dset_retrieval.py:419-429,591-613)."""
+    from medvill_tpu.eval.metrics import compute_ranks
+
+    scores, labels, indices = [], [], []
     for batch in batches:
         s = score_step(state, jax.tree_util.tree_map(jnp.asarray, batch))
         scores.append(np.asarray(s))
         labels.append(np.asarray(batch["is_aligned"]))
+        if "index" in batch:
+            indices.append(np.asarray(batch["index"]))
     scores = np.concatenate(scores)
     labels = np.concatenate(labels)
     n = (len(scores) // eval_len_size) * eval_len_size
     sim = scores[:n].reshape(-1, eval_len_size)
     lab = labels[:n].reshape(-1, eval_len_size)
     hits, mrr, rp = evaluate_retrieval(sim, lab, direction)
-    return {"hits": hits, "mrr": mrr, **rp}
+    out = {"hits": hits, "mrr": mrr, **rp}
+    if rank_dump_path and indices:
+        import json
+
+        idx = np.concatenate(indices)[:n].reshape(-1, eval_len_size)
+        _, aligned_lst = compute_ranks(sim, lab, idx)
+        with open(rank_dump_path, "w") as f:
+            json.dump(aligned_lst, f)
+        out["rank_dump"] = rank_dump_path
+    return out

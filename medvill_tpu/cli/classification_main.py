@@ -25,6 +25,18 @@ from medvill_tpu.utils.logging import MetricLogger, create_logger
 from medvill_tpu.utils.seed import set_seed
 
 
+def make_tokenizer(vocab_file: str, remap_unused: bool = False):
+    """Native-backed tokenizer when the C++ library builds, else Python."""
+    try:
+        from medvill_tpu.data.native_tokenizer import NativeBertTokenizer
+
+        t = NativeBertTokenizer(vocab_file, remap_unused=remap_unused)
+        return t
+    except Exception:
+        return BertTokenizer.from_vocab_file(vocab_file,
+                                             remap_unused=remap_unused)
+
+
 def str2bool(v):
     return str(v).lower() in ("1", "true", "yes")
 
@@ -67,8 +79,7 @@ def train(args) -> None:
     metrics_log = MetricLogger(savedir, project="classification",
                                config=vars(args))
 
-    tokenizer = BertTokenizer.from_vocab_file(args.vocab_file,
-                                              remap_unused=False)
+    tokenizer = make_tokenizer(args.vocab_file, remap_unused=False)
     train_path = os.path.join(args.data_path, args.Train_dset_name)
     valid_path = os.path.join(args.data_path, args.Valid_dset_name)
     labels, freqs = get_labels_and_frequencies(train_path)

@@ -26,6 +26,18 @@ from medvill_tpu.utils.logging import MetricLogger, create_logger
 from medvill_tpu.utils.seed import set_seed
 
 
+def make_tokenizer(vocab_file: str, remap_unused: bool = False):
+    """Native-backed tokenizer when the C++ library builds, else Python."""
+    try:
+        from medvill_tpu.data.native_tokenizer import NativeBertTokenizer
+
+        t = NativeBertTokenizer(vocab_file, remap_unused=remap_unused)
+        return t
+    except Exception:
+        return BertTokenizer.from_vocab_file(vocab_file,
+                                             remap_unused=remap_unused)
+
+
 def str2bool(v):
     return str(v).lower() in ("1", "true", "yes")
 
@@ -98,7 +110,7 @@ def main(args) -> None:
         json.dump(vars(args), f, indent=2)  # reference: finetune.py:213-214
     metrics_log = MetricLogger(cfg.output_dir, project="finetune",
                                config=vars(args))
-    tokenizer = BertTokenizer.from_vocab_file(args.vocab_file)
+    tokenizer = make_tokenizer(args.vocab_file, remap_unused=True)
 
     if cfg.task == "vqa":
         ds = VQADataset(cfg, tokenizer, args.src_file, split="train",

@@ -29,6 +29,18 @@ from medvill_tpu.utils.logging import MetricLogger, create_logger
 from medvill_tpu.utils.seed import set_seed
 
 
+def make_tokenizer(vocab_file: str, remap_unused: bool = False):
+    """Native-backed tokenizer when the C++ library builds, else Python."""
+    try:
+        from medvill_tpu.data.native_tokenizer import NativeBertTokenizer
+
+        t = NativeBertTokenizer(vocab_file, remap_unused=remap_unused)
+        return t
+    except Exception:
+        return BertTokenizer.from_vocab_file(vocab_file,
+                                             remap_unused=remap_unused)
+
+
 def str2bool(v):
     return str(v).lower() in ("1", "true", "yes")
 
@@ -64,7 +76,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bert-base-scratch", "bert-small-scratch",
                             "bert-base-uncased",
                             "google/bert_uncased_L-4_H-512_A-8",
-                            "google/bert_uncased_L-2_H-128_A-2"])
+                            "google/bert_uncased_L-2_H-128_A-2",
+                            "test-tiny"])  # CI/smoke scale
     p.add_argument("--vocab_size", type=int, default=30522)
     p.add_argument("--weight_load", type=str2bool, default=False)
     p.add_argument("--pre_trained_model_path", type=str, default=None)
@@ -96,6 +109,8 @@ def config_from_args(args) -> PretrainConfig:
         bert = BertConfig.small()
     elif args.bert_model == "google/bert_uncased_L-2_H-128_A-2":
         bert = BertConfig.tiny()
+    elif args.bert_model == "test-tiny":
+        bert = BertConfig.test_tiny(vocab_size=args.vocab_size)
     else:
         bert = BertConfig.base()
     bert = dataclasses.replace(bert, vocab_size=args.vocab_size)
@@ -130,8 +145,7 @@ def train(args) -> None:
     metrics_log = MetricLogger(cfg.output_path, project="CXR-BERT",
                                config=vars(args))
 
-    tokenizer = BertTokenizer.from_vocab_file(args.vocab_file,
-                                              remap_unused=False)
+    tokenizer = make_tokenizer(args.vocab_file, remap_unused=False)
     train_ds = CXRPretrainDataset(cfg.train_dataset, tokenizer, cfg,
                                   seed=cfg.seed)
     train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,

@@ -22,6 +22,18 @@ from medvill_tpu.utils.logging import MetricLogger, create_logger
 from medvill_tpu.utils.seed import set_seed
 
 
+def make_tokenizer(vocab_file: str, remap_unused: bool = False):
+    """Native-backed tokenizer when the C++ library builds, else Python."""
+    try:
+        from medvill_tpu.data.native_tokenizer import NativeBertTokenizer
+
+        t = NativeBertTokenizer(vocab_file, remap_unused=remap_unused)
+        return t
+    except Exception:
+        return BertTokenizer.from_vocab_file(vocab_file,
+                                             remap_unused=remap_unused)
+
+
 def str2bool(v):
     return str(v).lower() in ("1", "true", "yes")
 
@@ -55,8 +67,7 @@ def main(args) -> None:
     logger = create_logger(os.path.join(args.output_path, "train.log"), args)
     metrics_log = MetricLogger(args.output_path, project="retrieval",
                                config=vars(args))
-    tokenizer = BertTokenizer.from_vocab_file(args.vocab_file,
-                                              remap_unused=False)
+    tokenizer = make_tokenizer(args.vocab_file, remap_unused=False)
     cfg = RetrievalConfig(
         train_dataset=args.train_dataset, eval_dataset=args.eval_dataset,
         output_path=args.output_path, batch_size=args.batch_size,

@@ -65,10 +65,8 @@ class CXRPretrainDataset:
             idx, self.data, rng)
         image = self.image_loader(img_path)
 
-        tokens = self.tokenizer.tokenize(origin_txt)
-        truncate_txt(tokens, self.seq_len)
-        unk = self.vocab.get("[UNK]")
-        encoded = [self.vocab.get(w, unk) for w in tokens]
+        encoded = self.tokenizer.tokenize_to_ids(origin_txt)
+        truncate_txt(encoded, self.seq_len)
 
         input_ids, txt_labels = random_word(encoded, self.vocab_len,
                                             self.vocab["[MASK]"], rng)

@@ -207,6 +207,12 @@ class BertTokenizer:
     def convert_tokens_to_ids(self, tokens: List[str]) -> List[int]:
         return [self.vocab[t] for t in tokens]
 
+    def tokenize_to_ids(self, text: str) -> List[int]:
+        """tokenize + lookup with [UNK] fallback in one call (the native
+        backend overrides this with a C++ fast path)."""
+        unk = self.vocab["[UNK]"]
+        return [self.vocab.get(t, unk) for t in self.tokenize(text)]
+
     def convert_ids_to_tokens(self, ids: List[int]) -> List[str]:
         return [self.ids_to_tokens[i] for i in ids]
 

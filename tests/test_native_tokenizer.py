@@ -1,0 +1,96 @@
+"""Native (C++) wordpiece tokenizer: builds, matches the Python tokenizer
+exactly on ASCII, and falls back for non-ASCII."""
+import random
+
+import pytest
+
+from medvill_tpu.data.native_tokenizer import (NativeBertTokenizer,
+                                               build_library)
+from medvill_tpu.data.tokenization import BertTokenizer, load_vocab
+
+
+@pytest.fixture(scope="module")
+def vocab_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("vocab")
+    words = (["[PAD]", "[unused1]", "[unused2]", "[UNK]", "[CLS]", "[SEP]",
+              "[MASK]"]
+             + [f"word{i}" for i in range(30)]
+             + ["##s", "##ing", "lung", "pleura", "##l", "effusion", "the",
+                "right", "left", "un", "##aff", "##able", ",", ".", "-"])
+    f = d / "vocab.txt"
+    f.write_text("\n".join(words) + "\n")
+    return str(f)
+
+
+@pytest.fixture(scope="module")
+def native(vocab_file):
+    lib = build_library()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    t = NativeBertTokenizer(vocab_file)
+    if not t.native_available:
+        pytest.skip("native library failed to load")
+    return t
+
+
+def python_ids(vocab_file, text):
+    t = BertTokenizer(load_vocab(vocab_file))
+    unk = t.vocab["[UNK]"]
+    return [t.vocab.get(tok, unk) for tok in t.tokenize(text)]
+
+
+@pytest.mark.parametrize("text", [
+    "The right lung is clear.",
+    "pleural effusions, left.",
+    "unaffable word3 word29 nonsense-token",
+    "  spaces\teverywhere\n and , punct..",
+    "UPPER case LUNG",
+    "",
+    "a" * 150,  # long word -> [UNK]
+])
+def test_native_matches_python(native, vocab_file, text):
+    assert native.tokenize_to_ids(text) == python_ids(vocab_file, text)
+
+
+def test_native_fuzz_matches_python(native, vocab_file):
+    rng = random.Random(0)
+    pieces = ["lung", "pleural", "effusion", "the", "right", "left",
+              "word5", "xyzzy", ",", ".", "-", "  ", "\t", "CAPS"]
+    for _ in range(200):
+        text = "".join(rng.choice(pieces + [" "])
+                       for _ in range(rng.randint(0, 30)))
+        assert native.tokenize_to_ids(text) == python_ids(vocab_file, text), \
+            repr(text)
+
+
+def test_non_ascii_falls_back(native, vocab_file):
+    text = "café effusion"
+    # falls back to python path (accent stripping) — same result either way
+    assert native.tokenize_to_ids(text) == python_ids(vocab_file, text)
+
+
+def test_special_token_in_text_falls_back(native, vocab_file):
+    text = "report [SEP] more"
+    assert native.tokenize_to_ids(text) == python_ids(vocab_file, text)
+
+
+def test_vocab_remap_applied(native):
+    assert "[X_SEP]" in native.vocab
+    assert "[SEP_0]" in native.vocab
+
+
+def test_native_faster_than_python(native, vocab_file):
+    import time
+
+    text = "the right lung is clear . pleural effusion left " * 20
+    n = 200
+    t0 = time.perf_counter()
+    for _ in range(n):
+        native.tokenize_to_ids(text)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n):
+        python_ids(vocab_file, text)
+    t_python = time.perf_counter() - t0
+    # building the python tokenizer per call dominates; compare loosely
+    assert t_native < t_python

@@ -68,6 +68,7 @@ def build_parser():
     p.add_argument("--weight_classes", type=str2bool, default=True)
     p.add_argument("--drop_img_percent", type=float, default=0.0)
     p.add_argument("--bert_model", type=str, default="bert-base-scratch")
+    p.add_argument("--vocab_size", type=int, default=30522)
     return p
 
 
@@ -83,7 +84,9 @@ def train(args) -> None:
     train_path = os.path.join(args.data_path, args.Train_dset_name)
     valid_path = os.path.join(args.data_path, args.Valid_dset_name)
     labels, freqs = get_labels_and_frequencies(train_path)
+    bert = BertConfig.from_name(args.bert_model, args.vocab_size)
     cfg = ClassificationConfig(
+        bert=bert,
         data_path=args.data_path, batch_size=args.batch_sz,
         max_epochs=args.max_epochs, lr=args.lr, lr_factor=args.lr_factor,
         lr_patience=args.lr_patience, patience=args.patience,

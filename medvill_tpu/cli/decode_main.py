@@ -48,8 +48,11 @@ def build_parser():
     p.add_argument("--max_tgt_length", type=int, default=128)
     p.add_argument("--len_vis_input", type=int, default=256)
     p.add_argument("--img_size", type=int, default=512)
+    p.add_argument("--max_seq_length", type=int, default=512)
     p.add_argument("--new_segment_ids", type=str2bool, default=True)
     p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--bert_model", type=str, default="bert-base-scratch")
+    p.add_argument("--vocab_size", type=int, default=30522)
     p.add_argument("--teacher_forcing", type=str2bool, default=False,
                    help="True reproduces the reference greedy loop's "
                         "gt-token feeding (model.py:1177-1189)")
@@ -65,8 +68,11 @@ def main(args) -> None:
     tokenizer = BertTokenizer.from_vocab_file(args.vocab_file)
     v = tokenizer.vocab
 
-    bert = BertConfig.vlp(new_segment_ids=args.new_segment_ids)
+    bert = BertConfig.vlp(
+        BertConfig.from_name(args.bert_model, args.vocab_size),
+        new_segment_ids=args.new_segment_ids)
     cfg = FinetuneConfig(
+        max_seq_length=args.max_seq_length,
         len_vis_input=args.len_vis_input, img_size=args.img_size,
         new_segment_ids=args.new_segment_ids, bert=bert,
         image=ImageEncoderConfig(num_image_embeds=args.len_vis_input,
@@ -85,16 +91,14 @@ def main(args) -> None:
         deterministic=True)
     epoch = ckpt_lib.latest_epoch(args.model_recover_path)
     if epoch is not None:
-        from medvill_tpu.train.pretrain import TrainState
-
-        state = ckpt_lib.restore(
+        # inference-only load: restore just params/batch_stats subtrees
+        restored = ckpt_lib.restore(
             args.model_recover_path, epoch,
-            TrainState(step=jnp.zeros([], jnp.int32),
-                       params=variables["params"],
-                       batch_stats=variables.get("batch_stats", {}),
-                       opt_state=None))
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
+            partial=True)
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"]}
         logger.info("recovered model epoch %s", epoch)
 
     settings = DecodeSettings(

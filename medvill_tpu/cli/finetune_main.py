@@ -73,11 +73,15 @@ def build_parser():
     p.add_argument("--img_size", type=int, default=512)
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--vqa_eval", type=str2bool, default=False)
+    p.add_argument("--bert_model", type=str, default="bert-base-scratch")
+    p.add_argument("--vocab_size", type=int, default=30522)
     return p
 
 
 def config_from_args(args) -> FinetuneConfig:
-    bert = BertConfig.vlp(new_segment_ids=args.new_segment_ids)
+    bert = BertConfig.vlp(
+        BertConfig.from_name(args.bert_model, args.vocab_size),
+        new_segment_ids=args.new_segment_ids)
     return FinetuneConfig(
         task=args.tasks, src_file=args.src_file,
         output_dir=args.output_dir,

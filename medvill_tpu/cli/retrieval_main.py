@@ -58,6 +58,8 @@ def build_parser():
     p.add_argument("--eval_len_size", type=int, default=759)
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--load_pretrained_model", type=str, default=None)
+    p.add_argument("--bert_model", type=str, default="bert-base-scratch")
+    p.add_argument("--vocab_size", type=int, default=30522)
     return p
 
 
@@ -68,7 +70,9 @@ def main(args) -> None:
     metrics_log = MetricLogger(args.output_path, project="retrieval",
                                config=vars(args))
     tokenizer = make_tokenizer(args.vocab_file, remap_unused=False)
+    bert = BertConfig.from_name(args.bert_model, args.vocab_size)
     cfg = RetrievalConfig(
+        bert=bert,
         train_dataset=args.train_dataset, eval_dataset=args.eval_dataset,
         output_path=args.output_path, batch_size=args.batch_size,
         epochs=args.epochs, lr=args.lr, seq_len=args.seq_len,

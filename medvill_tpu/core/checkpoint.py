@@ -55,11 +55,22 @@ def save(directory: str, epoch: int, state: Any,
     return path
 
 
-def restore(directory: str, epoch: int | str, target: Any) -> Any:
+def restore(directory: str, epoch: int | str, target: Any,
+            partial: bool = False) -> Any:
+    """Restore a checkpoint.  ``partial=True`` restores only the subtrees
+    present in ``target`` (e.g. params without optimizer state — the decode
+    CLI's inference-only load)."""
     import orbax.checkpoint as ocp
 
     path = os.path.join(os.path.abspath(directory), str(epoch))
-    return _checkpointer().restore(path, target)
+    if not partial:
+        return _checkpointer().restore(path, target)
+    # this orbax version has no partial_restore: restore untyped (numpy)
+    # and select the requested subtrees
+    full = _checkpointer().restore(path)
+    if isinstance(target, dict):
+        return {k: full[k] for k in target}
+    return full
 
 
 def latest_epoch(directory: str) -> Optional[int]:

@@ -85,6 +85,20 @@ class BertConfig:
                           num_attention_heads=2, intermediate_size=512)
 
     @staticmethod
+    def from_name(name: str, vocab_size: int = 30522) -> "BertConfig":
+        """Map the reference's --bert_model names to configs
+        (reference: main_origin.py:116-125 choices)."""
+        if name in ("bert-small-scratch", "google/bert_uncased_L-4_H-512_A-8"):
+            cfg = BertConfig.small()
+        elif name == "google/bert_uncased_L-2_H-128_A-2":
+            cfg = BertConfig.tiny()
+        elif name == "test-tiny":
+            return BertConfig.test_tiny(vocab_size=vocab_size)
+        else:
+            cfg = BertConfig.base()
+        return dataclasses.replace(cfg, vocab_size=vocab_size)
+
+    @staticmethod
     def vlp(base: "BertConfig | None" = None,
             new_segment_ids: bool = True) -> "BertConfig":
         """Config for the vendored finetune/decode stack: LayerNorm eps

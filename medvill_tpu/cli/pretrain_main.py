@@ -20,7 +20,8 @@ from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
 from medvill_tpu.core import checkpoint as ckpt_lib
 from medvill_tpu.core.mesh import (make_mesh, multihost_initialize, replicate,
                                    shard_batch)
-from medvill_tpu.data.pretrain import BatchLoader, CXRPretrainDataset
+from medvill_tpu.data.pretrain import (BatchLoader, CXRPretrainDataset,
+                                       PrefetchLoader)
 from medvill_tpu.data.tokenization import BertTokenizer
 from medvill_tpu.train import optim
 from medvill_tpu.train.pretrain import (init_state, make_eval_step,
@@ -172,8 +173,11 @@ def train(args) -> None:
     for epoch in range(cfg.epochs):
         t0 = time.time()
         agg = {}
-        for i, batch in enumerate(train_loader):
-            state, m = train_step(state, shard_batch(mesh, batch), rng)
+        prefetched = PrefetchLoader(
+            train_loader, depth=2,
+            place_fn=lambda b: shard_batch(mesh, b))
+        for i, batch in enumerate(prefetched):
+            state, m = train_step(state, batch, rng)
             for k, val in m.items():
                 agg.setdefault(k, []).append(float(val))
             if i % cfg.log_freq == 0:

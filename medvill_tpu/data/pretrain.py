@@ -144,6 +144,53 @@ class BatchLoader:
             yield collate([self.dataset[int(j)] for j in idxs])
 
 
+class PrefetchLoader:
+    """Wraps any batch iterable with a background-thread prefetch queue so
+    host-side preprocessing (image decode, tokenization, masking) overlaps
+    device execution — the TPU equivalent of the reference's
+    ``DataLoader(num_workers=20)`` (reference: main_origin.py:52-54).
+    Optionally device-puts each batch via ``place_fn`` while the previous
+    step runs.
+    """
+
+    def __init__(self, loader, depth: int = 2, place_fn=None):
+        self.loader = loader
+        self.depth = depth
+        self.place_fn = place_fn
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        END = object()
+        err: List = []
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    if self.place_fn is not None:
+                        batch = self.place_fn(batch)
+                    q.put(batch)
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
 def synthetic_records(n: int, rng: Optional[random.Random] = None,
                       n_labels: int = 5, words: Optional[List[str]] = None
                       ) -> List[dict]:

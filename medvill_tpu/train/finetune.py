@@ -110,6 +110,50 @@ def make_train_step(model: VLPForPreTraining, tx, cfg: FinetuneConfig,
     return train_step
 
 
+def make_vqa_eval_step(model: VLPForPreTraining, cfg: FinetuneConfig,
+                       attention_fn=None):
+    """VQA inference: classifier over h[:,0] * h[:,len_vis+1]
+    (reference: model.py:979-984 vqa_inference)."""
+
+    def eval_step(state: TrainState, batch):
+        bias = finetune_bias(batch["mask_spec"], cfg.len_vis_input,
+                             cfg.max_seq_length)
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], batch["input_ids"], batch["segment_ids"], bias,
+            deterministic=True, attention_fn=attention_fn,
+            vqa_inference=True)
+        return logits
+
+    return eval_step
+
+
+def vqa_evaluate(eval_step, state, batches) -> Dict[str, float]:
+    """Soft-score accuracy split into open/closed
+    (reference: model.py:1021-1041 open/closed bookkeeping)."""
+    import numpy as np
+
+    scores, types = [], []
+    for batch in batches:
+        use = {k: jnp.asarray(v) for k, v in batch.items()
+               if k in ("image", "input_ids", "segment_ids", "mask_spec")}
+        logits = np.asarray(eval_step(state, use))
+        idx = logits.argmax(-1)
+        s = np.asarray(batch["ans_target"])[np.arange(len(idx)), idx]
+        scores.append(s)
+        types.append(np.asarray(batch["ans_type"]))
+    scores = np.concatenate(scores)
+    types = np.concatenate(types)
+    out = {"vqa_acc": float(scores.mean())}
+    closed = scores[types == 0]
+    opened = scores[types == 1]
+    out["closed_acc"] = float(closed.mean()) if len(closed) else float("nan")
+    out["open_acc"] = float(opened.mean()) if len(opened) else float("nan")
+    out["n_closed"] = int(len(closed))
+    out["n_open"] = int(len(opened))
+    return out
+
+
 def make_finetune_tx(cfg: FinetuneConfig) -> optax.GradientTransformation:
     """BertAdam core without the lr scale (applied in-step); no-decay
     grouping per finetune.py:383-390."""

@@ -26,12 +26,67 @@ import numpy as np
 A100_EQUIV_PAIRS_PER_SEC = 70.0
 
 
+def bench_decode(batch: int = 8, iters: int = 3) -> None:
+    """Report-generation decode tokens/sec (the second north-star metric):
+    KV-cached greedy decode, BERT-base VLP, 256 image embeds @512px,
+    max 128 text tokens (reference decode config:
+    sc/generation_decode.py:114-311)."""
+    from medvill_tpu.core.config import BertConfig, FinetuneConfig, \
+        ImageEncoderConfig
+    from medvill_tpu.models.decoder import DecodeSettings, greedy_decode
+    from medvill_tpu.train import finetune as ft
+
+    cfg = FinetuneConfig(
+        bert=BertConfig.vlp(),
+        image=ImageEncoderConfig(num_image_embeds=256, img_size=512,
+                                 encoder="full-fiber"),
+        len_vis_input=256, img_size=512)
+    model = ft.build_model(cfg)
+    L = cfg.max_seq_length
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((2, 512, 512, 3)), jnp.zeros((2, L), jnp.int32),
+        jnp.zeros((2, L), jnp.int32), jnp.zeros((2, 1, L, L)),
+        masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
+        deterministic=True)
+    settings = DecodeSettings(max_txt_length=128, mask_word_id=103,
+                              eos_id=-1)  # never stop: measure full length
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.standard_normal(
+        (batch, 512, 512, 3)).astype(np.float32))
+
+    run = jax.jit(lambda v, im: greedy_decode(model, v, im, settings,
+                                              101, 102))
+    out_ids, _, _ = run(variables, image)
+    _ = int(np.asarray(out_ids)[0, 0])  # host sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out_ids, _, _ = run(variables, image)
+        _ = int(np.asarray(out_ids)[0, 0])
+    dt = time.perf_counter() - t0
+    toks_per_sec = batch * settings.max_txt_length * iters / dt
+    print(json.dumps({
+        "metric": "report_gen_decode_tokens_per_sec",
+        "value": round(toks_per_sec, 2),
+        "unit": "tokens/sec (greedy, batch %d, KV cache)" % batch,
+        "vs_baseline": round(toks_per_sec / 300.0, 3),
+        # denominator: ~300 tok/s is a documented estimate for the
+        # reference's hidden-state-cache greedy loop on one A100
+    }))
+
+
 def main() -> None:
     import os
 
     os.makedirs("/tmp/jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if len(sys.argv) > 1 and sys.argv[1] == "decode":
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+        bench_decode(batch, iters)
+        return
 
     from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                          PretrainConfig)

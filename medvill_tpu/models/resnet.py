@@ -29,9 +29,13 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
+        # compute/emit in bf16 (f32 BN outputs double the ResNet's HBM
+        # traffic — measured 183 ms/step of conv-fusion time at batch 36);
+        # scale/bias/running stats stay f32 via param_dtype
         norm = lambda name: nn.BatchNorm(use_running_average=not train,
                                          momentum=0.9, epsilon=1e-5,
-                                         dtype=jnp.float32, name=name)
+                                         dtype=self.dtype,
+                                         param_dtype=jnp.float32, name=name)
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
         y = norm("bn1")(y)
@@ -68,7 +72,8 @@ class ResNet50Trunk(nn.Module):
                     padding=[(3, 3), (3, 3)], use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for stage, n_blocks in enumerate(self.stage_sizes):

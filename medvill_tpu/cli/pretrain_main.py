@@ -101,6 +101,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--beta2", type=float, default=0.999)
     p.add_argument("--eps", type=float, default=1e-6)
     p.add_argument("--weight_decay", type=float, default=0.0)
+    # TPU extras
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of a few steps here")
+    p.add_argument("--hf_bert_checkpoint", type=str, default=None,
+                   help="torch state_dict (.bin/.pt) of an HF BERT to "
+                        "initialize the joint encoder "
+                        "(BertModel.from_pretrained equivalent)")
     return p
 
 
@@ -160,6 +167,17 @@ def train(args) -> None:
     mesh = make_mesh(cfg.mesh_shape)
     tx = optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay)
     model, state = init_state(cfg, jax.random.PRNGKey(cfg.seed), tx)
+    if getattr(args, "hf_bert_checkpoint", None):
+        import torch
+
+        sd = torch.load(args.hf_bert_checkpoint, map_location="cpu")
+        new_params = ckpt_lib.load_hf_bert_into_joint(
+            state.params, {k: v.numpy() for k, v in sd.items()},
+            num_layers=cfg.bert.num_hidden_layers)
+        state = state.replace(params=new_params,
+                              opt_state=tx.init(new_params))
+        logger.info("initialized joint encoder from %s",
+                    args.hf_bert_checkpoint)
     if cfg.weight_load and cfg.pre_trained_model_path:
         epoch = ckpt_lib.latest_epoch(cfg.pre_trained_model_path)
         if epoch is not None:
@@ -176,8 +194,15 @@ def train(args) -> None:
         prefetched = PrefetchLoader(
             train_loader, depth=2,
             place_fn=lambda b: shard_batch(mesh, b))
+        profiling = (args.profile_dir and epoch == 0)
         for i, batch in enumerate(prefetched):
+            if profiling and i == 2:
+                jax.profiler.start_trace(args.profile_dir)
             state, m = train_step(state, batch, rng)
+            if profiling and i == 4:
+                jax.block_until_ready(m["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
             for k, val in m.items():
                 agg.setdefault(k, []).append(float(val))
             if i % cfg.log_freq == 0:

@@ -112,6 +112,39 @@ def torch_remap(state_dict: Dict[str, Any], mapping: str) -> Dict[str, Any]:
     return out
 
 
+def load_hf_bert_into_joint(params: dict, hf_state_dict: Dict[str, Any],
+                            num_layers: int = 12,
+                            enc_key: str = "enc") -> dict:
+    """Initialize a CXRBERT/JointEncoder param tree from an HF BERT torch
+    state_dict — the TPU equivalent of
+    ``BertModel.from_pretrained(args.bert_model)`` feeding the joint encoder
+    (reference: models/cxrbert_origin.py:42-73 shares bert.embeddings /
+    bert.encoder / bert.pooler).  Returns a new tree; image projection and
+    heads keep their existing (random) init like the reference."""
+    import copy
+
+    imported = import_hf_bert(hf_state_dict, num_layers=num_layers)
+    out = copy.deepcopy(params)
+    enc = out[enc_key] if enc_key else out
+    target_pos = enc["embeddings"]["position_embeddings"]["embedding"]
+    if imported["embeddings"]["position_embeddings"]["embedding"].shape \
+            != target_pos.shape:
+        imported["embeddings"] = resize_position_embeddings(
+            imported["embeddings"], target_pos.shape[0])
+    # type_vocab_size can differ (vlp uses 6): copy min rows
+    src_tt = imported["embeddings"]["token_type_embeddings"]["embedding"]
+    dst_tt = np.asarray(enc["embeddings"]["token_type_embeddings"]
+                        ["embedding"]).copy()
+    rows = min(src_tt.shape[0], dst_tt.shape[0])
+    dst_tt[:rows] = src_tt[:rows]
+    imported["embeddings"]["token_type_embeddings"]["embedding"] = dst_tt
+    enc["embeddings"] = imported["embeddings"]
+    enc["encoder"] = imported["encoder"]
+    if "pooler" in imported and "pooler" in enc:
+        enc["pooler"] = imported["pooler"]
+    return out
+
+
 def resize_position_embeddings(params: dict, new_size: int) -> dict:
     """Position-embedding resize on checkpoint load: copy min(old, new) rows,
     keep the target init for the remainder (reference trick:

@@ -141,6 +141,69 @@ def bert_adam(lr: float, warmup: float = -1.0, t_total: int = -1,
     return optax.chain(*chain)
 
 
+def decay_to_init(weight_decay: float, init_params,
+                  decay_mask=None) -> optax.GradientTransformation:
+    """BertAdamFineTune's decay-to-initial-weights: the weight-decay term
+    pulls toward the *pretrained* weights instead of zero —
+    ``update += wd * (p - p_init)`` (reference:
+    sc/pytorch_pretrained_bert/optimization.py:185-270; params whose init
+    was missing from the recovered checkpoint decay toward zero, matching
+    its zeroed init_p for missing keys).
+
+    ``init_params`` pytree must match the trainable params; pass zeros
+    leaves (or use ``decay_mask``) for plain decay on selected subtrees.
+    """
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("decay_to_init requires params")
+
+        def upd(u, p, p0):
+            return u + weight_decay * (p - p0)
+
+        if decay_mask is not None:
+            new = jax.tree_util.tree_map(
+                lambda u, p, p0, m: upd(u, p, p0) if m else u,
+                updates, params, init_params, decay_mask)
+        else:
+            new = jax.tree_util.tree_map(upd, updates, params, init_params)
+        return new, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def bert_adam_finetune(lr: float, init_params, warmup: float = -1.0,
+                       t_total: int = -1, schedule: str = "warmup_linear",
+                       b1: float = 0.9, b2: float = 0.999, eps: float = 1e-6,
+                       weight_decay: float = 0.01,
+                       max_grad_norm: float = 1.0,
+                       decay_mask_fn: Optional[Callable] = None
+                       ) -> optax.GradientTransformation:
+    """BertAdam with decay-to-initial-weights (BertAdamFineTune)."""
+    chain = []
+    if max_grad_norm > 0:
+        chain.append(clip_per_tensor_norm(max_grad_norm))
+    chain.append(scale_by_adam_no_bias_correction(b1, b2, eps))
+    if weight_decay > 0:
+        mask = decay_mask_fn(init_params) if decay_mask_fn else None
+        chain.append(decay_to_init(weight_decay, init_params, mask))
+    if t_total != -1:
+        sched = SCHEDULES[schedule]
+
+        def lr_fn(count):
+            x = count.astype(jnp.float32) / t_total
+            return lr * sched(x, warmup if warmup != -1 else 0.002)
+
+        chain.append(optax.scale_by_schedule(lambda c: -lr_fn(c)))
+    else:
+        chain.append(optax.scale(-lr))
+    return optax.chain(*chain)
+
+
 def noam_schedule(d_model: int, n_warmup_steps: int) -> Callable:
     """Noam LR (reference: models/optim_schedule.py:29-41):
     d_model^-0.5 * min(step^-0.5, step * warmup^-1.5)."""

@@ -184,6 +184,17 @@ def main(args) -> None:
         if jax.process_index() == 0:  # rank-0 save (finetune.py:474-487)
             ckpt_lib.save(cfg.output_dir, epoch, jax.device_get(state),
                           config=vars(args))
+
+    if cfg.task == "vqa" and args.vqa_eval:
+        # open/closed soft-score accuracy on the test split
+        # (reference: model.py:1021-1041)
+        test_ds = VQADataset(cfg, tokenizer, args.src_file, split="test",
+                             image_root=args.image_root, seed=cfg.seed)
+        test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False)
+        eval_step = jax.jit(ft.make_vqa_eval_step(model, cfg))
+        results = ft.vqa_evaluate(eval_step, state, test_loader)
+        logger.info("vqa eval: %s", results)
+        metrics_log.log(results)
     metrics_log.finish()
 
 

@@ -104,11 +104,7 @@ def main(args) -> None:
         train_ds = CXRRetrievalDataset(
             cfg.train_dataset, tokenizer, cfg, is_train=True,
             label_conditioned=args.label_conditioned, seed=cfg.seed)
-        loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
-                             seed=cfg.seed)
-        # override collate: pos+neg concatenated on batch
-        orig_iter = loader.__iter__
-
+        # pair collate: pos+neg concatenated on batch
         def pair_iter():
             order = np.arange(len(train_ds))
             np.random.default_rng(cfg.seed).shuffle(order)

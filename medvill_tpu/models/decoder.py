@@ -155,15 +155,10 @@ def greedy_decode(model: VLPForPreTraining, variables, image,
 
 
 def _gather_beams(tree, parent: jnp.ndarray, B: int, K: int):
-    """Gather along the flattened (B*K) batch dim by per-(B,K) parent beam."""
+    """Gather along the flattened (B*K) batch dim by per-(B,K) parent beam
+    (all leaves are [B*K, ...])."""
     flat_parent = (jnp.arange(B)[:, None] * K + parent).reshape(-1)
-
-    def g(x):
-        return x.reshape((B * K,) + x.shape[1:])[flat_parent]
-
-    return jax.tree_util.tree_map(
-        lambda x: g(x.reshape((B * K,) + x.shape[1:])
-                    if x.shape[0] == B * K else x), tree)
+    return jax.tree_util.tree_map(lambda x: x[flat_parent], tree)
 
 
 def _ngram_forbid_mask(out_ids: jnp.ndarray, t, n: int, vocab: int,

@@ -30,7 +30,7 @@ from medvill_tpu.data.sampling import labels_match, truncate_txt
 class CXRRetrievalDataset:
     def __init__(self, data_path_or_records, tokenizer, cfg: RetrievalConfig,
                  is_train: bool = True, label_conditioned: bool = True,
-                 seed: int = 0, image_loader=None):
+                 seed: int = 0, image_loader=None, cxr_bert: bool = True):
         if isinstance(data_path_or_records, str):
             self.data_dir = os.path.dirname(data_path_or_records)
             with open(data_path_or_records) as f:
@@ -44,6 +44,7 @@ class CXRRetrievalDataset:
         self.label_conditioned = label_conditioned
         self.rng = random.Random(seed)
         self.vocab = tokenizer.vocab
+        self.cxr_bert = cxr_bert
         self.image_loader = image_loader or self._default_image_loader
 
     def _default_image_loader(self, img_path: str) -> np.ndarray:
@@ -54,8 +55,28 @@ class CXRRetrievalDataset:
     def __len__(self) -> int:
         return len(self.data)
 
+    def _process_cnn(self, txt: str, img_path: str) -> Dict[str, np.ndarray]:
+        """Non-CXRBERT (CNN_BERT) branch: text-only BERT input
+        ``[CLS] tokens [SEP] + pad`` with a 1-D mask, image handled by the
+        global CNN encoder (full_dset_retrieval.py:231-248)."""
+        v = self.vocab
+        tokens = self.tokenizer.tokenize(txt)
+        truncate_txt(tokens, self.cfg.seq_len)
+        ids = ([v["[CLS]"]] + [v.get(w, v["[UNK]"]) for w in tokens]
+               + [v["[SEP]"]])
+        attn_len = len(ids)
+        ids = ids + [v["[PAD]"]] * (self.cfg.seq_len + 2 - attn_len)
+        return dict(
+            input_txt=np.array(ids, np.int32),
+            attn_len=np.int32(attn_len),
+            segment=np.ones(self.cfg.seq_len + 2, np.int32),
+            image=self.image_loader(img_path).astype(np.float32),
+        )
+
     def _process(self, txt: str, img_path: str) -> Dict[str, np.ndarray]:
         """(full_dset_retrieval.py:173-229, CXRBERT branch)."""
+        if not self.cxr_bert:
+            return self._process_cnn(txt, img_path)
         v = self.vocab
         tokens = self.tokenizer.tokenize(txt)
         truncate_txt(tokens, self.cfg.seq_len)

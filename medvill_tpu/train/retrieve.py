@@ -101,6 +101,50 @@ def make_score_step(model: CXRBERT, cfg: RetrievalConfig, attention_fn=None):
     return score_step
 
 
+def make_cnn_train_step(model, tx, cfg: RetrievalConfig):
+    """Late-fusion CNN_BERT branch (reference: full_dset_retrieval.py:38,
+    549-555 with CNN_BERT/main_cnn_bert.py model): CE over 2-class
+    alignment logits on pos+neg concatenated batches."""
+
+    def train_step(state: TrainState, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["input_txt"], batch["attn_len"], batch["segment"],
+                batch["image"], deterministic=False, train_cnn=True,
+                rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+            labels = batch["is_aligned"].astype(jnp.int32)
+            logz = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+            gold = jnp.take_along_axis(logits.astype(jnp.float32),
+                                       labels[:, None], axis=-1)[:, 0]
+            loss = (logz - gold).mean()
+            acc = (jnp.argmax(logits, -1) == labels).mean()
+            return loss, (acc, updates.get("batch_stats", state.batch_stats))
+
+        (loss, (acc, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_bs, opt_state=new_opt), \
+            {"loss": loss, "acc": acc}
+
+    return train_step
+
+
+def make_cnn_score_step(model, cfg: RetrievalConfig):
+    def score_step(state: TrainState, batch):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["input_txt"], batch["attn_len"], batch["segment"],
+            batch["image"], deterministic=True)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+
+    return score_step
+
+
 def run_retrieval_eval(score_step, state, batches, eval_len_size: int,
                        direction: str = "i2t",
                        rank_dump_path: Optional[str] = None):

@@ -33,13 +33,33 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+_ASYNC_CKPT = None
+
+
 def save(directory: str, epoch: int, state: Any,
-         config: Optional[dict] = None, best: bool = False) -> str:
+         config: Optional[dict] = None, best: bool = False,
+         async_save: bool = False) -> str:
     """Save state under <directory>/<epoch>; optionally copy to 'best'
-    (the reference's model_best.pt convention, utils/utils.py:18-22)."""
+    (the reference's model_best.pt convention, utils/utils.py:18-22).
+
+    ``async_save=True`` returns as soon as the device arrays are snapshotted
+    and writes in the background (orbax async; the next save waits for the
+    previous one) — training is not blocked on filesystem I/O.
+    """
+    global _ASYNC_CKPT
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, str(epoch))
+    if async_save and not best:  # best-copy needs the finished write
+        if _ASYNC_CKPT is None:
+            _ASYNC_CKPT = _checkpointer()
+        ckpt = _ASYNC_CKPT
+        ckpt.wait_until_finished()  # at most one write in flight
+        ckpt.save(path, jax.device_get(state), force=True)
+        if config is not None:
+            with open(os.path.join(directory, "config.json"), "w") as f:
+                json.dump(config, f, indent=2, default=str)
+        return path
     ckpt = _checkpointer()
     state = jax.device_get(state)
     ckpt.save(path, state, force=True)

@@ -63,6 +63,9 @@ class BertConfig:
     # dtype policy: params fp32, compute bf16 on TPU (reference used apex AMP
     # fp16, sc/finetune.py:297-301; bf16 needs no loss scaling).
     compute_dtype: str = "bfloat16"
+    # rematerialize encoder layers in backward (memory for FLOPs; enables
+    # larger batches than the 16 GB HBM otherwise allows)
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:

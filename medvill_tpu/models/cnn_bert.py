@@ -35,7 +35,8 @@ class TxtPooledEncoder(nn.Module):
     def setup(self):
         cfg = self.config
         self.embeddings = BertEmbeddings(cfg, name="embeddings")
-        self.encoder = BertEncoder(cfg, name="encoder")
+        self.encoder = BertEncoder(cfg, remat=cfg.remat,
+                           name="encoder")
         self.pooler = BertPooler(cfg, name="pooler")
 
     def __call__(self, input_ids, attn_len, segment, deterministic=True,

@@ -73,7 +73,8 @@ class JointEncoder(nn.Module):
         else:
             self.img_encoder = ResNet50Trunk(
                 dtype=jnp.dtype(cfg.compute_dtype), name="img_encoder")
-        self.encoder = BertEncoder(cfg, name="encoder")
+        self.encoder = BertEncoder(cfg, remat=cfg.remat,
+                           name="encoder")
         self.pooler = BertPooler(cfg, name="pooler")
 
     def encode_image(self, image: jnp.ndarray,

@@ -61,7 +61,8 @@ class VLPEncoder(nn.Module):
             dtype=jnp.dtype(cfg.compute_dtype), name="img_projection")
         self.img_encoder = ResNet50Trunk(dtype=jnp.dtype(cfg.compute_dtype),
                                          name="img_encoder")
-        self.encoder = BertEncoder(cfg, name="encoder")
+        self.encoder = BertEncoder(cfg, remat=cfg.remat,
+                           name="encoder")
         self.pooler = BertPooler(cfg, name="pooler")
 
     def encode_image(self, image: jnp.ndarray,

@@ -93,12 +93,15 @@ def main() -> None:
     from medvill_tpu.train import optim
     from medvill_tpu.train.pretrain import init_state, make_train_step
 
+    import dataclasses
+
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 36
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    remat = len(sys.argv) > 3 and sys.argv[3] == "remat"
 
     cfg = PretrainConfig(
         batch_size=batch,
-        bert=BertConfig.base(),
+        bert=dataclasses.replace(BertConfig.base(), remat=remat),
         image=ImageEncoderConfig(img_size=512, num_image_embeds=180),
     )
     tx = optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay)

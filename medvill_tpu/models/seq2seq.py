@@ -75,6 +75,11 @@ class VLPEncoder(nn.Module):
         if pixel_indices is not None:
             feats = jnp.take(feats, pixel_indices, axis=1)
             pos = jnp.take(pos, pixel_indices, axis=1)
+        elif M != self.len_vis_input:
+            # the reference assumes fiber count == len_vis_input (256 at
+            # 512px); slice defensively for other geometries
+            feats = feats[:, :self.len_vis_input]
+            pos = pos[:, :self.len_vis_input]
         return feats, pos
 
     def embed_image_segment(self, input_ids_seg: jnp.ndarray,

@@ -95,9 +95,12 @@ def main() -> None:
 
     import dataclasses
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 36
+    # default: the measured-fastest single-chip config (batch 72 + encoder
+    # remat, 122.5 pairs/s vs 115.0 at the reference batch-36 point);
+    # `python bench.py 36 10 noremat` reproduces the reference config point
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 72
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    remat = len(sys.argv) > 3 and sys.argv[3] == "remat"
+    remat = (sys.argv[3] == "remat") if len(sys.argv) > 3 else (batch > 48)
 
     cfg = PretrainConfig(
         batch_size=batch,

@@ -121,7 +121,9 @@ def main(args) -> None:
                         image_root=args.image_root, seed=cfg.seed)
     else:
         ds = Img2TxtDataset(args.src_file, tokenizer, cfg, seed=cfg.seed)
-    loader = BatchLoader(ds, cfg.batch_size, shuffle=True, seed=cfg.seed)
+    loader = BatchLoader(ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                         num_shards=jax.process_count(),
+                         shard_index=jax.process_index())
     t_total = max(1, len(loader) * cfg.epochs)
 
     mesh = make_mesh(cfg.mesh_shape)

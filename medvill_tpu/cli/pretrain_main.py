@@ -157,7 +157,9 @@ def train(args) -> None:
     train_ds = CXRPretrainDataset(cfg.train_dataset, tokenizer, cfg,
                                   seed=cfg.seed)
     train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
-                               seed=cfg.seed)
+                               seed=cfg.seed,
+                               num_shards=jax.process_count(),
+                               shard_index=jax.process_index())
     test_loader = None
     if cfg.test_dataset:
         test_ds = CXRPretrainDataset(cfg.test_dataset, tokenizer, cfg,

@@ -118,26 +118,36 @@ def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 class BatchLoader:
     """Minimal epoch iterator with shuffling (reference: DataLoader,
-    main_origin.py:52-54).  Single-process; heavy decode work can be threaded
-    later — the bench path uses synthetic batches.
-    Drops the last partial batch to keep shapes static for XLA."""
+    main_origin.py:52-54).  Drops the last partial batch to keep shapes
+    static for XLA.
+
+    Multi-host: pass ``num_shards=jax.process_count()`` /
+    ``shard_index=jax.process_index()`` so each host iterates a disjoint
+    slice of every (identically-shuffled) epoch — the DistributedSampler
+    equivalent (reference: sc/finetune.py:285-288); batch_size is the
+    per-host batch.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, num_shards: int = 1, shard_index: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
+        self.num_shards = num_shards
+        self.shard_index = shard_index
 
     def __len__(self) -> int:
-        return len(self.dataset) // self.batch_size
+        return len(self.dataset) // (self.batch_size * self.num_shards)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         self.epoch += 1
+        if self.num_shards > 1:
+            order = order[self.shard_index::self.num_shards]
         B = self.batch_size
         for i in range(len(self)):
             idxs = order[i * B:(i + 1) * B]

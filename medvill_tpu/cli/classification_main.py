@@ -69,6 +69,8 @@ def build_parser():
     p.add_argument("--drop_img_percent", type=float, default=0.0)
     p.add_argument("--bert_model", type=str, default="bert-base-scratch")
     p.add_argument("--vocab_size", type=int, default=30522)
+    p.add_argument("--do_test", type=str2bool, default=False)
+    p.add_argument("--Test_dset_name", type=str, default="Test.jsonl")
     return p
 
 
@@ -186,6 +188,21 @@ def train(args) -> None:
         if n_no_improve >= cfg.patience:
             logger.info("No improvement. Breaking out of loop.")
             break
+
+    if args.do_test:
+        # reference: mmbt/main.py test() — best checkpoint, test-set metrics
+        test_path = os.path.join(args.data_path, args.Test_dset_name)
+        if os.path.exists(os.path.join(savedir, "best")):
+            state = ckpt_lib.restore(savedir, "best", jax.device_get(state))
+            logger.info("loaded best checkpoint for test")
+        test_ds = ClassificationDataset(
+            test_path, tokenizer, labels, cfg.max_seq_len,
+            cfg.num_image_embeds, cfg.img_size, openi=args.openi)
+        test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False)
+        metrics, _, _ = classify.evaluate(eval_step, state, test_loader)
+        logger.info("test: %s", metrics)
+        metrics_log.log({k: v for k, v in metrics.items()
+                         if not isinstance(v, dict)})
     metrics_log.finish()
 
 

@@ -46,6 +46,7 @@ def build_parser():
     p.add_argument("--output_path", type=str, default="output_retrieval")
     p.add_argument("--do_train", type=str2bool, default=True)
     p.add_argument("--do_test", type=str2bool, default=False)
+    p.add_argument("--eval_during_training", type=str2bool, default=False)
     p.add_argument("--i2t", type=str2bool, default=True)
     p.add_argument("--t2i", type=str2bool, default=False)
     p.add_argument("--label_conditioned", type=str2bool, default=True)
@@ -127,6 +128,18 @@ def main(args) -> None:
             logger.info("epoch %d: %s", epoch, row)
             ckpt_lib.save(cfg.output_path, epoch, jax.device_get(state),
                           config=vars(args))
+            if args.eval_during_training and cfg.eval_dataset:
+                # reference: full_dset_retrieval.py:415-458
+                eval_ds = CXRRetrievalDataset(cfg.eval_dataset, tokenizer,
+                                              cfg, is_train=False)
+                eval_loader = BatchLoader(eval_ds, cfg.batch_size,
+                                          shuffle=False)
+                score_step = jax.jit(retrieve.make_score_step(model, cfg))
+                res = retrieve.run_retrieval_eval(
+                    score_step, state, eval_loader, cfg.eval_len_size,
+                    cfg.direction)
+                logger.info("epoch %d eval: %s", epoch, res)
+                metrics_log.log({"mrr": res["mrr"]}, step=epoch)
 
     if args.do_test and cfg.eval_dataset:
         eval_ds = CXRRetrievalDataset(cfg.eval_dataset, tokenizer, cfg,

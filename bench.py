@@ -100,12 +100,16 @@ def main() -> None:
     # `python bench.py 36 10 noremat` reproduces the reference config point
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 72
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    remat = (sys.argv[3] == "remat") if len(sys.argv) > 3 else (batch > 48)
+    mode = sys.argv[3] if len(sys.argv) > 3 else (
+        "remat" if batch > 48 else "noremat")
+    remat = mode in ("remat", "rematall")
+    remat_blocks = mode == "rematall"
 
     cfg = PretrainConfig(
         batch_size=batch,
         bert=dataclasses.replace(BertConfig.base(), remat=remat),
-        image=ImageEncoderConfig(img_size=512, num_image_embeds=180),
+        image=ImageEncoderConfig(img_size=512, num_image_embeds=180,
+                                 remat_blocks=remat_blocks),
     )
     tx = optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay)
     model, state = init_state(cfg, jax.random.PRNGKey(0), tx)

@@ -135,6 +135,9 @@ class ImageEncoderConfig:
     # ResNet-50 partial freeze: children [5:] trainable — layer2..layer4 in
     # torchvision child order (reference: models/cxrbert_origin.py:66-70).
     freeze_prefix_stages: bool = True
+    # checkpoint bottleneck blocks (recompute in backward) — frees the
+    # early-stage activations that cap batch size at 512 px
+    remat_blocks: bool = False
 
     @property
     def num_fibers(self) -> int:

@@ -72,7 +72,8 @@ class JointEncoder(nn.Module):
                 dim=self.image.img_hidden_size, name="img_encoder")
         else:
             self.img_encoder = ResNet50Trunk(
-                dtype=jnp.dtype(cfg.compute_dtype), name="img_encoder")
+                dtype=jnp.dtype(cfg.compute_dtype),
+                remat=self.image.remat_blocks, name="img_encoder")
         self.encoder = BertEncoder(cfg, remat=cfg.remat,
                            name="encoder")
         self.pooler = BertPooler(cfg, name="pooler")

@@ -59,11 +59,17 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50Trunk(nn.Module):
-    """conv1..layer4 (no avgpool/fc), returns [B, M, M, 2048] fiber map."""
+    """conv1..layer4 (no avgpool/fc), returns [B, M, M, 2048] fiber map.
+
+    ``remat=True`` checkpoints each bottleneck block — cuts the large
+    early-stage activation memory (the batch-size limiter at 512²) at the
+    cost of recomputing block forwards in the backward pass.
+    """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -80,9 +86,15 @@ class ResNet50Trunk(nn.Module):
             features = self.width * (2 ** stage)
             for block in range(n_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
-                x = Bottleneck(features=features, stride=stride,
-                               downsample=(block == 0), dtype=self.dtype,
-                               name=f"layer{stage + 1}_{block}")(x, train=train)
+                blk = Bottleneck(features=features, stride=stride,
+                                 downsample=(block == 0), dtype=self.dtype,
+                                 name=f"layer{stage + 1}_{block}")
+                if self.remat and train:
+                    x = nn.remat(
+                        lambda m, h: m(h, train=train),
+                        static_argnums=())(blk, x)
+                else:
+                    x = blk(x, train=train)
         return x
 
 

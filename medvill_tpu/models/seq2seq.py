@@ -60,6 +60,7 @@ class VLPEncoder(nn.Module):
             kernel_init=nn.initializers.normal(cfg.initializer_range),
             dtype=jnp.dtype(cfg.compute_dtype), name="img_projection")
         self.img_encoder = ResNet50Trunk(dtype=jnp.dtype(cfg.compute_dtype),
+                                         remat=self.image.remat_blocks,
                                          name="img_encoder")
         self.encoder = BertEncoder(cfg, remat=cfg.remat,
                            name="encoder")

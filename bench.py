@@ -110,6 +110,8 @@ def main() -> None:
         bert=dataclasses.replace(BertConfig.base(), remat=remat),
         image=ImageEncoderConfig(img_size=512, num_image_embeds=180,
                                  remat_blocks=remat_blocks),
+        # chunk buffer is [B, chunk, vocab] f32 — scale down at large batch
+        mlm_loss_chunk=128 if batch <= 96 else 64,
     )
     tx = optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay)
     model, state = init_state(cfg, jax.random.PRNGKey(0), tx)

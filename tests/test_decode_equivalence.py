@@ -15,6 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow
+
 from medvill_tpu.core.config import (BertConfig, FinetuneConfig,
                                      ImageEncoderConfig)
 from medvill_tpu.models.decoder import (DecodeSettings, _prefill_bias,

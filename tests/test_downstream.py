@@ -8,6 +8,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow
+
 from medvill_tpu.core.config import (BertConfig, ClassificationConfig,
                                      FinetuneConfig, ImageEncoderConfig,
                                      RetrievalConfig)

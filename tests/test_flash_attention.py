@@ -8,6 +8,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow
+
 from medvill_tpu.core.config import MaskVariant
 from medvill_tpu.data.masks import (MaskGeometry, SEQ2SEQ_VARIANT_IDS,
                                     bias_from_spec, seq2seq_spec_dense)

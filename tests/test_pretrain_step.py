@@ -11,6 +11,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow
+
 from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                      PretrainConfig)
 from medvill_tpu.core.mesh import make_mesh, replicate, shard_batch

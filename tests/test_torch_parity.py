@@ -15,6 +15,9 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow
+
 from medvill_tpu.core import checkpoint as C
 from medvill_tpu.core.config import BertConfig
 

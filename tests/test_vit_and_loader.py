@@ -7,6 +7,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow
+
 from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                      MaskVariant, PretrainConfig)
 from medvill_tpu.data.pretrain import (BatchLoader, CXRPretrainDataset,

@@ -61,6 +61,10 @@ def build_parser():
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--max_seq_len", type=int, default=512)
     p.add_argument("--num_image_embeds", type=int, default=256)
+    p.add_argument("--img_embed_pool_type", type=str, default="avg",
+                   choices=["avg", "max"],
+                   help="adaptive pool type for num_image_embeds 1-9 "
+                        "(reference: mmbt/models/image.py:24-39)")
     p.add_argument("--img_size", type=int, default=512)
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--freeze_img", type=int, default=0)
@@ -71,6 +75,13 @@ def build_parser():
     p.add_argument("--vocab_size", type=int, default=30522)
     p.add_argument("--do_test", type=str2bool, default=False)
     p.add_argument("--Test_dset_name", type=str, default="Test.jsonl")
+    p.add_argument("--bert_init_path", type=str, default=None,
+                   help="HF BERT torch .bin to initialize the text encoder "
+                        "(reference: mmbt BertModel.from_pretrained)")
+    p.add_argument("--resnet_init_path", type=str, default=None,
+                   help="torchvision resnet50 .pth to initialize the image "
+                        "encoder (reference: mmbt/models/image.py "
+                        "pretrained=True)")
     return p
 
 
@@ -99,7 +110,12 @@ def train(args) -> None:
         labels=tuple(labels),
         image=ImageEncoderConfig(num_image_embeds=args.num_image_embeds,
                                  img_size=args.img_size,
-                                 encoder="full-fiber"))
+                                 # the 1-9-embed configs use the reference's
+                                 # adaptive-pool table; larger counts take
+                                 # trunk fibers directly
+                                 encoder=("pool" if args.num_image_embeds <= 9
+                                          else "full-fiber"),
+                                 pool_type=args.img_embed_pool_type))
 
     train_ds = ClassificationDataset(
         train_path, tokenizer, labels, cfg.max_seq_len,
@@ -133,6 +149,21 @@ def train(args) -> None:
                            dummy["segment"], dummy["image"], cls_id, sep_id)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if args.bert_init_path:
+        from medvill_tpu.core import torch_init
+
+        params = torch_init.init_bert_from_torch(
+            params, args.bert_init_path, enc_key="enc",
+            num_layers=cfg.bert.num_hidden_layers)
+        logger.info("initialized text encoder from %s", args.bert_init_path)
+    if args.resnet_init_path:
+        from medvill_tpu.core import torch_init
+
+        params, batch_stats = torch_init.init_resnet_from_torch(
+            params, batch_stats, args.resnet_init_path,
+            trunk_path=("enc", "img_encoder"))
+        logger.info("initialized image encoder from %s",
+                    args.resnet_init_path)
     if args.loaddir:
         epoch = ckpt_lib.latest_epoch(args.loaddir)
         if epoch is not None:

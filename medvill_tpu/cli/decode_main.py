@@ -2,14 +2,34 @@
 entry point (reference: sc/generation_decode.py:112-636, which ships with
 missing imports and an undefined beam_size — SURVEY.md §0; we provide the
 intended behavior): batched greedy/beam decode over a test JSONL,
-detokenization, ppl from teacher-forced CE, BLEU-1..4 + CSV dumps."""
+detokenization, ppl from teacher-forced CE, BLEU-1..4 + CSV dumps.
+
+Evaluation protocol reproduced from the reference:
+- scenario table (generation_decode.py:46,135-245): the reference hardcodes
+  12 {openi,mimic} x {par,vlp,s2s,bi,noncross,direct} entries with personal
+  filesystem paths; here the same loop is driven by a ``--scenarios`` JSON
+  file of {dataset, model_name, src_file, model_recover_path, ...} rows;
+- glob over model_recover_path (generation_decode.py:376);
+- ``--random_bootstrap_testnum`` bootstrap iterations, each resampling the
+  test set WITH replacement via one random.choice per example
+  (generation_decode.py:378,423) — note the reference does this
+  unconditionally, so even a single run scores a bootstrap resample, and we
+  reproduce that under ``--bootstrap_resample``;
+- per-run artifact set: gt/gen CSV pair + BLEU-1..4 (sc/bleu.py
+  language_eval_bleu), run-named f"{ppl}ppl_{dataset}_{model_name}_
+  {bootstrap}test" for beam 1 / f"...{beam}beam{bootstrap}test" for beam>1
+  (generation_decode.py:594-632), predictions JSON, and running
+  best_bleu1..4 across all runs (max_a..max_d, :369-372,505-511).
+"""
 from __future__ import annotations
 
 import argparse
 import dataclasses
+import glob as glob_lib
 import json
 import math
 import os
+import random
 
 import jax
 import numpy as np
@@ -34,12 +54,22 @@ def str2bool(v):
 
 def build_parser():
     p = argparse.ArgumentParser()
-    p.add_argument("--src_file", type=str, required=True,
+    p.add_argument("--src_file", type=str, default=None,
                    help="test JSONL with text+img per line")
     p.add_argument("--vocab_file", type=str, required=True)
-    p.add_argument("--model_recover_path", type=str, required=True)
+    p.add_argument("--model_recover_path", type=str, default=None,
+                   help="orbax checkpoint dir; glob patterns allowed "
+                        "(reference: generation_decode.py:376)")
+    p.add_argument("--scenarios", type=str, default=None,
+                   help="JSON file with a list of scenario dicts "
+                        "{dataset, model_name, src_file, model_recover_path,"
+                        " ...arg overrides} — the reference's hardcoded "
+                        "12-entry table (generation_decode.py:135-245)")
     p.add_argument("--output_dir", type=str, default="output_decode")
     p.add_argument("--run_name", type=str, default="decode")
+    p.add_argument("--eval_model", type=str, default="pretrained_",
+                   help="run-name prefix for beam>1 evals "
+                        "(generation_decode.py:133)")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--beam_size", type=int, default=1)
     p.add_argument("--length_penalty", type=float, default=0.0)
@@ -56,51 +86,39 @@ def build_parser():
     p.add_argument("--teacher_forcing", type=str2bool, default=False,
                    help="True reproduces the reference greedy loop's "
                         "gt-token feeding (model.py:1177-1189)")
+    p.add_argument("--random_bootstrap_testnum", type=int, default=1,
+                   help="bootstrap iterations per recovered model "
+                        "(generation_decode.py:378)")
+    p.add_argument("--bootstrap_resample", type=str2bool, default=False,
+                   help="resample the test set with replacement each "
+                        "bootstrap — the reference does this always "
+                        "(generation_decode.py:423); off by default so a "
+                        "plain run scores the true test set")
     return p
 
 
-def main(args) -> None:
-    set_seed(args.seed)
-    os.makedirs(args.output_dir, exist_ok=True)
-    logger = create_logger(os.path.join(args.output_dir, "decode.log"), args)
-    metrics_log = MetricLogger(args.output_dir, project="decode",
-                               config=vars(args))
-    tokenizer = BertTokenizer.from_vocab_file(args.vocab_file)
-    v = tokenizer.vocab
+class _Best:
+    """Running best BLEU across runs (reference max_a..max_d,
+    generation_decode.py:369-372)."""
 
-    bert = BertConfig.vlp(
-        BertConfig.from_name(args.bert_model, args.vocab_size),
-        new_segment_ids=args.new_segment_ids)
-    cfg = FinetuneConfig(
-        max_seq_length=args.max_seq_length,
-        len_vis_input=args.len_vis_input, img_size=args.img_size,
-        new_segment_ids=args.new_segment_ids, bert=bert,
-        image=ImageEncoderConfig(num_image_embeds=args.len_vis_input,
-                                 img_size=args.img_size,
-                                 encoder="full-fiber"))
-    model = ft.build_model(cfg)
+    def __init__(self):
+        self.a, self.b, self.c, self.d = [], [], [], []
+
+    def update(self, bleu: dict) -> dict:
+        self.a.append(bleu["Bleu_1"])
+        self.b.append(bleu["Bleu_2"])
+        self.c.append(bleu["Bleu_3"])
+        self.d.append(bleu["Bleu_4"])
+        return {"best_bleu1": max(self.a), "best_bleu2": max(self.b),
+                "best_bleu3": max(self.c), "best_bleu4": max(self.d)}
+
+
+def _decode_records(args, cfg, model, variables, tokenizer, records,
+                    data_dir, logger):
+    """One decode pass over ``records``: returns (predictions, ppl|None)."""
     import jax.numpy as jnp
 
-    B, L = args.batch_size, cfg.max_seq_length
-    variables = model.init(
-        {"params": jax.random.PRNGKey(args.seed)},
-        jnp.zeros((2, cfg.img_size, cfg.img_size, 3)),
-        jnp.zeros((2, L), jnp.int32), jnp.zeros((2, L), jnp.int32),
-        jnp.zeros((2, 1, L, L)),
-        masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
-        deterministic=True)
-    epoch = ckpt_lib.latest_epoch(args.model_recover_path)
-    if epoch is not None:
-        # inference-only load: restore just params/batch_stats subtrees
-        restored = ckpt_lib.restore(
-            args.model_recover_path, epoch,
-            {"params": variables["params"],
-             "batch_stats": variables.get("batch_stats", {})},
-            partial=True)
-        variables = {"params": restored["params"],
-                     "batch_stats": restored["batch_stats"]}
-        logger.info("recovered model epoch %s", epoch)
-
+    v = tokenizer.vocab
     settings = DecodeSettings(
         max_txt_length=args.max_tgt_length, mask_word_id=v["[MASK]"],
         eos_id=v["[SEP]"], beam_size=args.beam_size,
@@ -108,16 +126,13 @@ def main(args) -> None:
         forbid_duplicate_ngrams=args.forbid_duplicate_ngrams,
         ngram_size=args.ngram_size, new_segment_ids=args.new_segment_ids)
 
-    with open(args.src_file) as f:
-        records = [json.loads(l) for l in f]
-    data_dir = os.path.dirname(args.src_file)
-
     def image_loader(p):
         return image_lib.load_image(os.path.join(data_dir, p),
                                     args.img_size, grayscale_to_rgb=True,
                                     do_resize=(args.len_vis_input < 100))
 
     prep = Seq2seqDecodePreprocessor(cfg, tokenizer, args.max_tgt_length)
+    B = args.batch_size
 
     @jax.jit
     def run_greedy(image, gt):
@@ -157,16 +172,133 @@ def main(args) -> None:
             caption = " ".join(detokenize(toks))
             predictions.append({"image_id": rec.get("id", str(start + i)),
                                 "caption": caption,
-                                "gt_caption": rec["text"]})
-    bleu = language_eval_bleu(predictions, args.output_dir, args.run_name)
-    result = dict(bleu)
-    if total_tok:
-        result["ppl"] = math.exp(total_nll / total_tok)
-    logger.info("decode results: %s", result)
-    metrics_log.log(result)
-    with open(os.path.join(args.output_dir,
-                           f"{args.run_name}_predictions.json"), "w") as f:
-        json.dump(predictions, f, indent=2)
+                                "gt_caption": rec["text"],
+                                "gt_label": rec.get("label", "")})
+    ppl = math.exp(total_nll / total_tok) if total_tok else None
+    return predictions, ppl
+
+
+def run_one(args, logger, metrics_log, best: _Best,
+            dataset: str = "", model_name: str = "") -> list:
+    """Decode one scenario: glob the recover path, bootstrap-loop, score.
+    Returns a list of result dicts (one per model x bootstrap)."""
+    import jax.numpy as jnp
+
+    set_seed(args.seed)
+    tokenizer = BertTokenizer.from_vocab_file(args.vocab_file)
+    bert = BertConfig.vlp(
+        BertConfig.from_name(args.bert_model, args.vocab_size),
+        new_segment_ids=args.new_segment_ids)
+    cfg = FinetuneConfig(
+        max_seq_length=args.max_seq_length,
+        len_vis_input=args.len_vis_input, img_size=args.img_size,
+        new_segment_ids=args.new_segment_ids, bert=bert,
+        image=ImageEncoderConfig(num_image_embeds=args.len_vis_input,
+                                 img_size=args.img_size,
+                                 encoder="full-fiber"))
+    model = ft.build_model(cfg)
+    L = cfg.max_seq_length
+    init_vars = model.init(
+        {"params": jax.random.PRNGKey(args.seed)},
+        jnp.zeros((2, cfg.img_size, cfg.img_size, 3)),
+        jnp.zeros((2, L), jnp.int32), jnp.zeros((2, L), jnp.int32),
+        jnp.zeros((2, 1, L, L)),
+        masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
+        deterministic=True)
+
+    with open(args.src_file) as f:
+        all_records = [json.loads(l) for l in f]
+    data_dir = os.path.dirname(args.src_file)
+
+    # reference globs model_recover_path (generation_decode.py:376); ours
+    # are orbax dirs, so expand the pattern over directories
+    paths = sorted(glob_lib.glob(args.model_recover_path.strip())) \
+        if args.model_recover_path else [None]
+    if not paths:
+        logger.warning("no checkpoints match %s; decoding random init",
+                       args.model_recover_path)
+        paths = [None]
+
+    results = []
+    for model_path in paths:
+        variables = {"params": init_vars["params"],
+                     "batch_stats": init_vars.get("batch_stats", {})}
+        if model_path is not None:
+            epoch = ckpt_lib.latest_epoch(model_path)
+            if epoch is not None:
+                restored = ckpt_lib.restore(model_path, epoch, variables,
+                                            partial=True)
+                variables = {"params": restored["params"],
+                             "batch_stats": restored["batch_stats"]}
+                logger.info("recovered model %s epoch %s", model_path, epoch)
+        for bootstrap in range(1, args.random_bootstrap_testnum + 1):
+            if args.bootstrap_resample:
+                # one random.choice per example, with replacement
+                # (generation_decode.py:423)
+                records = [random.choice(all_records)
+                           for _ in range(len(all_records))]
+            else:
+                records = all_records
+            predictions, ppl = _decode_records(
+                args, cfg, model, variables, tokenizer, records, data_dir,
+                logger)
+            # run naming mirrors generation_decode.py:594-632
+            if args.beam_size == 1 and ppl is not None:
+                run_name = (f"{round(ppl, 2)}ppl_{dataset or 'cxr'}_"
+                            f"{model_name or args.run_name}_{bootstrap}test")
+            else:
+                run_name = (f"{args.eval_model}{args.beam_size}beam"
+                            f"{bootstrap}test")
+            bleu = language_eval_bleu(predictions, args.output_dir, run_name)
+            result = dict(bleu)
+            if ppl is not None:
+                result["ppl"] = ppl
+            result.update(best.update(bleu))
+            result.update({"run_name": run_name, "bootstrap": bootstrap,
+                           "dataset": dataset, "model_name": model_name})
+            logger.info("decode results: %s", result)
+            metrics_log.log(result)
+            with open(os.path.join(args.output_dir,
+                                   f"{run_name}_predictions.json"),
+                      "w") as f:
+                json.dump(predictions, f, indent=2)
+            results.append(result)
+    return results
+
+
+def main(args) -> None:
+    os.makedirs(args.output_dir, exist_ok=True)
+    logger = create_logger(os.path.join(args.output_dir, "decode.log"), args)
+    metrics_log = MetricLogger(args.output_dir, project="decode",
+                               config=vars(args))
+    best = _Best()
+    all_results = []
+    if args.scenarios:
+        with open(args.scenarios) as f:
+            table = json.load(f)
+        for i, row in enumerate(table):
+            sc_args = argparse.Namespace(**vars(args))
+            dataset = row.pop("dataset", f"scenario{i + 1}")
+            model_name = row.pop("model_name", "model")
+            for k, val in row.items():
+                if not hasattr(sc_args, k):
+                    raise ValueError(f"unknown scenario key: {k}")
+                setattr(sc_args, k, val)
+            if not sc_args.src_file or not sc_args.model_recover_path:
+                raise ValueError(
+                    f"scenario {i + 1} needs src_file+model_recover_path")
+            logger.info("=== scenario %d: %s/%s ===", i + 1, dataset,
+                        model_name)
+            all_results += run_one(sc_args, logger, metrics_log, best,
+                                   dataset=dataset, model_name=model_name)
+    else:
+        if not args.src_file or args.model_recover_path is None:
+            raise SystemExit("--src_file and --model_recover_path required "
+                             "(or use --scenarios)")
+        all_results = run_one(args, logger, metrics_log, best,
+                              model_name=args.run_name)
+    with open(os.path.join(args.output_dir, "all_results.json"), "w") as f:
+        json.dump(all_results, f, indent=2)
     metrics_log.finish()
 
 

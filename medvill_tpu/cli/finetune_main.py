@@ -75,6 +75,14 @@ def build_parser():
     p.add_argument("--vqa_eval", type=str2bool, default=False)
     p.add_argument("--bert_model", type=str, default="bert-base-scratch")
     p.add_argument("--vocab_size", type=int, default=30522)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--bert_init_path", type=str, default=None,
+                   help="HF BERT torch .bin to initialize the VLP encoder "
+                        "(used when training without a pretrain recover "
+                        "path; reference: from_pretrained in finetune.py)")
+    p.add_argument("--resnet_init_path", type=str, default=None,
+                   help="torchvision resnet50 .pth for the visual trunk "
+                        "(reference: vlp resnet pretrained init)")
     return p
 
 
@@ -97,6 +105,7 @@ def config_from_args(args) -> FinetuneConfig:
         bi_prob=args.bi_prob, bar=args.bar,
         vqa_organs=(args.vqa_rad,) if args.vqa_rad != "all" else
         ("chest", "head", "abd"),
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
         img_size=args.img_size, seed=args.seed, bert=bert,
         image=ImageEncoderConfig(num_image_embeds=args.len_vis_input,
                                  img_size=args.img_size,
@@ -124,7 +133,10 @@ def main(args) -> None:
     loader = BatchLoader(ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
                          num_shards=jax.process_count(),
                          shard_index=jax.process_index())
-    t_total = max(1, len(loader) * cfg.epochs)
+    # t_total counts OPTIMIZER steps (reference: finetune.py t_total =
+    # len(loader) / grad_accum * epochs)
+    t_total = max(1, len(loader) * cfg.epochs
+                  // cfg.gradient_accumulation_steps)
 
     mesh = make_mesh(cfg.mesh_shape)
     model = ft.build_model(cfg)
@@ -142,6 +154,21 @@ def main(args) -> None:
         deterministic=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if args.bert_init_path:
+        from medvill_tpu.core import torch_init
+
+        params = torch_init.init_bert_from_torch(
+            params, args.bert_init_path, enc_key="bert",
+            num_layers=cfg.bert.num_hidden_layers)
+        logger.info("initialized encoder from %s", args.bert_init_path)
+    if args.resnet_init_path:
+        from medvill_tpu.core import torch_init
+
+        params, batch_stats = torch_init.init_resnet_from_torch(
+            params, batch_stats, args.resnet_init_path,
+            trunk_path=("bert", "img_encoder"))
+        logger.info("initialized visual trunk from %s",
+                    args.resnet_init_path)
     tx = ft.make_finetune_tx(cfg)
     state = TrainState(step=jnp.zeros([], jnp.int32), params=params,
                        batch_stats=batch_stats, opt_state=tx.init(params))

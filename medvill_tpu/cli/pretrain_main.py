@@ -104,10 +104,16 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU extras
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of a few steps here")
-    p.add_argument("--hf_bert_checkpoint", type=str, default=None,
+    p.add_argument("--hf_bert_checkpoint", "--bert_init_path",
+                   dest="hf_bert_checkpoint", type=str, default=None,
                    help="torch state_dict (.bin/.pt) of an HF BERT to "
                         "initialize the joint encoder "
-                        "(BertModel.from_pretrained equivalent)")
+                        "(BertModel.from_pretrained equivalent, "
+                        "cxrbert_origin.py:42-55)")
+    p.add_argument("--resnet_init_path", type=str, default=None,
+                   help="torchvision resnet50 .pth to initialize the "
+                        "visual trunk (reference: models/image.py:50 "
+                        "pretrained=True)")
     return p
 
 
@@ -167,19 +173,38 @@ def train(args) -> None:
         test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False)
 
     mesh = make_mesh(cfg.mesh_shape)
-    tx = optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay)
+    tx = optim.accumulate(
+        optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay),
+        cfg.gradient_accumulation_steps)
     model, state = init_state(cfg, jax.random.PRNGKey(cfg.seed), tx)
     if getattr(args, "hf_bert_checkpoint", None):
-        import torch
+        from medvill_tpu.core import torch_init
 
-        sd = torch.load(args.hf_bert_checkpoint, map_location="cpu")
-        new_params = ckpt_lib.load_hf_bert_into_joint(
-            state.params, {k: v.numpy() for k, v in sd.items()},
+        new_params = torch_init.init_bert_from_torch(
+            state.params, args.hf_bert_checkpoint, enc_key="enc",
             num_layers=cfg.bert.num_hidden_layers)
         state = state.replace(params=new_params,
                               opt_state=tx.init(new_params))
         logger.info("initialized joint encoder from %s",
                     args.hf_bert_checkpoint)
+    if getattr(args, "resnet_init_path", None):
+        from medvill_tpu.core import torch_init
+        from medvill_tpu.models import resnet as resnet_lib
+
+        new_params, new_bs = torch_init.init_resnet_from_torch(
+            state.params, state.batch_stats, args.resnet_init_path,
+            trunk_path=("enc", "img_encoder"))
+        if cfg.image.freeze_prefix_stages:
+            # reference partial freeze on pretrained init: torchvision
+            # children [5:] trainable (cxrbert_origin.py:66-70)
+            mask = torch_init.partial_freeze_mask(
+                new_params, ("enc", "img_encoder"),
+                resnet_lib.trainable_mask)
+            tx = optim.masked_trainable(tx, mask)
+        state = state.replace(params=new_params, batch_stats=new_bs,
+                              opt_state=tx.init(new_params))
+        logger.info("initialized visual trunk from %s (partial freeze=%s)",
+                    args.resnet_init_path, cfg.image.freeze_prefix_stages)
     if cfg.weight_load and cfg.pre_trained_model_path:
         epoch = ckpt_lib.latest_epoch(cfg.pre_trained_model_path)
         if epoch is not None:

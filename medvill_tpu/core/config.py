@@ -126,12 +126,17 @@ class BertConfig:
 class ImageEncoderConfig:
     """Visual encoder config (reference: models/image.py, main_origin.py:133-139)."""
 
-    encoder: str = "random-pixel"  # random-pixel | full-fiber | ViT
+    # random-pixel | full-fiber | ViT | pool (1-9-embed adaptive-pool table,
+    # mmbt/models/image.py:16-56) | pool-half ((M/2,M/2) pooling,
+    # models/image.py:71-93)
+    encoder: str = "random-pixel"
     img_size: int = 512            # 224 | 512
     img_channel: int = 3
     img_hidden_size: int = 2048    # ResNet-50 final channels
-    num_image_embeds: int = 180    # 36 | 49 | 180 | 256
+    num_image_embeds: int = 180    # 36 | 49 | 180 | 256; 1-9 for pool
     patch_size: int = 32           # ViT only: 32 if img_size==512 else 16
+    pool_type: str = "avg"         # pool encoders: avg | max
+                                   # (--img_embed_pool_type)
     # ResNet-50 partial freeze: children [5:] trainable — layer2..layer4 in
     # torchvision child order (reference: models/cxrbert_origin.py:66-70).
     freeze_prefix_stages: bool = True

@@ -61,15 +61,27 @@ def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
 def multihost_initialize() -> None:
     """Multi-host entry (reference DDP equivalent: sc/finetune.py:224-235).
 
-    No-op on a single process; on multi-host TPU pods call before any jax use.
+    Must be called BEFORE any other jax API touches a backend: querying
+    ``jax.process_count()`` first would initialize a local single-process
+    backend and make the subsequent ``jax.distributed.initialize()`` raise.
+    We therefore decide from the environment alone, and only swallow the
+    "already initialized" case — a real coordinator failure propagates.
     """
-    try:
-        if jax.process_count() > 1:
-            return  # already initialized
-    except RuntimeError:
-        pass
+    import os
+
+    # a coordinator is configured either explicitly or by the TPU pod
+    # metadata jax.distributed reads natively; note single-host TPU runtimes
+    # also export TPU_WORKER_HOSTNAMES (as "localhost"), so that var only
+    # signals multi-host when it lists more than one worker
+    multi = any(os.environ.get(k) for k in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS"))
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi = multi or len([w for w in workers.split(",") if w.strip()]) > 1
+    if not multi:
+        return  # single-process run: nothing to do
     try:
         jax.distributed.initialize()
-    except (ValueError, RuntimeError):
-        # single-process run (no coordinator configured)
-        pass
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise

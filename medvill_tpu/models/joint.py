@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from medvill_tpu.core.config import BertConfig, ImageEncoderConfig
 from medvill_tpu.data.masks import MaskGeometry, bias_from_spec
 from medvill_tpu.models.bert import (BertEmbeddings, BertEncoder, BertPooler)
-from medvill_tpu.models.resnet import ResNet50Trunk, fibers
+from medvill_tpu.models.resnet import (ResNet50Trunk, fibers,
+                                       half_pooled_fibers, pooled_fibers)
 
 
 class ImagePatchEmbedding(nn.Module):
@@ -88,7 +89,15 @@ class JointEncoder(nn.Module):
             pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))
             return feats, pos
         fmap = self.img_encoder(image, train=train)
-        feats = fibers(fmap)  # [B, M*M, 2048]
+        if self.image.encoder == "pool":
+            # 1-9-embed adaptive-pool configs (mmbt/models/image.py:30-39)
+            feats = pooled_fibers(fmap, self.image.num_image_embeds,
+                                  self.image.pool_type)
+        elif self.image.encoder == "pool-half":
+            # (M/2, M/2) pooled variant (reference: models/image.py:71-93)
+            feats = half_pooled_fibers(fmap, self.image.pool_type)
+        else:
+            feats = fibers(fmap)  # [B, M*M, 2048]
         B, M, _ = feats.shape
         pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))
         if pixel_indices is not None:

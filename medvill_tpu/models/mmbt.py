@@ -29,7 +29,8 @@ from medvill_tpu.core.config import BertConfig, ImageEncoderConfig, MaskVariant
 from medvill_tpu.data.masks import MaskGeometry, bias_from_spec
 from medvill_tpu.models.bert import BertEmbeddings, BertEncoder, BertPooler
 from medvill_tpu.models.heads import ClfHead
-from medvill_tpu.models.resnet import ResNet50Trunk, fibers
+from medvill_tpu.models.resnet import (ResNet50Trunk, fibers,
+                                       half_pooled_fibers, pooled_fibers)
 
 
 class MultimodalBertEncoder(nn.Module):
@@ -63,7 +64,13 @@ class MultimodalBertEncoder(nn.Module):
         N = self.image.num_image_embeds
 
         fmap = self.img_encoder(image, train=train_cnn)
-        img_feats = fibers(fmap)[:, :N]  # all fibers (full-fiber path)
+        if self.image.encoder == "pool":
+            # 1-9-embed adaptive-pool table (mmbt/models/image.py:30-39)
+            img_feats = pooled_fibers(fmap, N, self.image.pool_type)
+        elif self.image.encoder == "pool-half":
+            img_feats = half_pooled_fibers(fmap, self.image.pool_type)[:, :N]
+        else:
+            img_feats = fibers(fmap)[:, :N]  # all fibers (full-fiber path)
         img_vecs = self.img_projection(img_feats)
 
         cls_ids = jnp.full((B, 1), cls_id, jnp.int32)

@@ -106,6 +106,65 @@ def fibers(feature_map: jnp.ndarray) -> jnp.ndarray:
     return feature_map.reshape(B, H * W, C)
 
 
+# torch AdaptiveAvgPool2d target shapes per num_image_embeds
+# (reference: mmbt/models/image.py:30-39)
+POOL_SHAPES = {1: (1, 1), 2: (2, 1), 3: (3, 1), 5: (5, 1), 7: (7, 1),
+               4: (2, 2), 6: (3, 2), 8: (4, 2), 9: (3, 3)}
+
+
+def adaptive_pool(fmap: jnp.ndarray, out_hw: Tuple[int, int],
+                  mode: str = "avg") -> jnp.ndarray:
+    """torch ``AdaptiveAvgPool2d``/``AdaptiveMaxPool2d`` semantics on an
+    NHWC map: segment i of an H->oh reduction spans
+    [floor(i*H/oh), ceil((i+1)*H/oh)).  Output [B, oh, ow, C].
+
+    Static shapes: the (small) output grid is unrolled at trace time, so
+    XLA sees a fixed set of slice+reduce ops — no dynamic control flow."""
+    B, H, W, C = fmap.shape
+    oh, ow = out_hw
+    if H % oh == 0 and W % ow == 0:
+        # uniform windows: one reduce_window the MXU/VPU pipeline likes
+        kh, kw = H // oh, W // ow
+        if mode == "avg":
+            return nn.avg_pool(fmap, (kh, kw), strides=(kh, kw))
+        return nn.max_pool(fmap, (kh, kw), strides=(kh, kw))
+    rows = []
+    for i in range(oh):
+        h0, h1 = (i * H) // oh, -((-(i + 1) * H) // oh)
+        cols = []
+        for j in range(ow):
+            w0, w1 = (j * W) // ow, -((-(j + 1) * W) // ow)
+            seg = fmap[:, h0:h1, w0:w1, :]
+            cols.append(seg.mean(axis=(1, 2)) if mode == "avg"
+                        else seg.max(axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)
+
+
+def pooled_fibers(fmap: jnp.ndarray, num_image_embeds: int,
+                  pool_type: str = "avg") -> jnp.ndarray:
+    """The 1-9-embed pool-config encoder: adaptive pool the trunk map to the
+    reference's per-N target shape, then flatten row-major to [B, N, C]
+    (reference: mmbt/models/image.py:16-56 — torch flattens [B,C,oh,ow] at
+    dim 2 then transposes, which equals our NHWC reshape)."""
+    if num_image_embeds not in POOL_SHAPES:
+        raise ValueError(
+            f"pool encoder defined for num_image_embeds in "
+            f"{sorted(POOL_SHAPES)}, got {num_image_embeds}")
+    out = adaptive_pool(fmap, POOL_SHAPES[num_image_embeds], pool_type)
+    B, oh, ow, C = out.shape
+    return out.reshape(B, oh * ow, C)
+
+
+def half_pooled_fibers(fmap: jnp.ndarray,
+                       pool_type: str = "avg") -> jnp.ndarray:
+    """ImageEncoder_pool: pool the [B,M,M,C] map to (M//2, M//2) and
+    flatten (reference: models/image.py:71-93)."""
+    B, H, W, C = fmap.shape
+    out = adaptive_pool(fmap, (H // 2, W // 2), pool_type)
+    return out.reshape(B, (H // 2) * (W // 2), C)
+
+
 def trainable_mask(params) -> dict:
     """Pytree of bools: True where trainable under the reference's partial
     freeze (torchvision children [5:] = layer2, layer3, layer4 trainable;

@@ -74,7 +74,9 @@ def make_tx(cfg: ClassificationConfig, t_total: int,
     if (freeze_img or freeze_txt) and params is not None:
         tx = optim.masked_trainable(
             tx, freeze_mask(params, freeze_img, freeze_txt))
-    return tx
+    # accumulate OUTERMOST so clipping/Adam see the averaged k-batch grad,
+    # matching reference step-time semantics (mmbt/main.py accum loop)
+    return optim.accumulate(tx, cfg.gradient_accumulation_steps)
 
 
 def make_train_step(model: MultimodalBertClf, tx, cfg: ClassificationConfig,
@@ -105,8 +107,11 @@ def make_train_step(model: MultimodalBertClf, tx, cfg: ClassificationConfig,
         (loss, new_bs), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        # BertAdam warmup_linear lr applied here with the plateau multiplier
-        x = state.step.astype(jnp.float32) / t_total
+        # BertAdam warmup_linear lr applied here with the plateau multiplier.
+        # The schedule is indexed by OPTIMIZER steps (global_step), not
+        # micro-steps — reference advances global_step once per accum window.
+        opt_step = state.step // cfg.gradient_accumulation_steps
+        x = opt_step.astype(jnp.float32) / t_total
         lr_t = cfg.lr * optim.warmup_linear(x, cfg.warmup) * lr_scale
         updates = jax.tree_util.tree_map(lambda u: -lr_t * u, updates)
         new_params = optax.apply_updates(state.params, updates)

@@ -99,8 +99,10 @@ def make_train_step(model: VLPForPreTraining, tx, cfg: FinetuneConfig,
         (loss, (aux, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        # manual warmup_linear lr (finetune.py:461-470)
-        x = state.step.astype(jnp.float32) / t_total
+        # manual warmup_linear lr (finetune.py:461-470); schedule indexed by
+        # optimizer steps — reference bumps global_step every accum window
+        opt_step = state.step // cfg.gradient_accumulation_steps
+        x = opt_step.astype(jnp.float32) / t_total
         lr_t = cfg.lr * optim.warmup_linear(x, cfg.warmup)
         updates = jax.tree_util.tree_map(lambda u: -lr_t * u, updates)
         new_params = optax.apply_updates(state.params, updates)
@@ -157,9 +159,10 @@ def vqa_evaluate(eval_step, state, batches) -> Dict[str, float]:
 def make_finetune_tx(cfg: FinetuneConfig) -> optax.GradientTransformation:
     """BertAdam core without the lr scale (applied in-step); no-decay
     grouping per finetune.py:383-390."""
-    return optax.chain(
+    tx = optax.chain(
         optim.clip_per_tensor_norm(1.0),
         optim.scale_by_adam_no_bias_correction(eps=1e-6),
         optax.masked(optax.add_decayed_weights(cfg.weight_decay),
                      optim.no_decay_mask),
     )
+    return optim.accumulate(tx, cfg.gradient_accumulation_steps)

@@ -216,6 +216,20 @@ def noam_schedule(d_model: int, n_warmup_steps: int) -> Callable:
     return fn
 
 
+def accumulate(tx: optax.GradientTransformation,
+               every: int) -> optax.GradientTransformation:
+    """Gradient accumulation: average grads over ``every`` micro-batches and
+    apply the inner transform once (reference: pretrain default 4,
+    main_origin.py:141-142; finetune steps every ``grad_accum`` batches,
+    sc/finetune.py:461-470 — there the loss is divided by the accum count and
+    grads summed, which equals the mean used here).  On non-apply micro-steps
+    the returned updates are zeros, so callers that post-scale updates by a
+    manual lr stay correct."""
+    if every <= 1:
+        return tx
+    return optax.MultiSteps(tx, every_k_schedule=every)
+
+
 def masked_trainable(tx: optax.GradientTransformation,
                      trainable_mask) -> optax.GradientTransformation:
     """Freeze params where mask is False (reference partial CNN freeze,

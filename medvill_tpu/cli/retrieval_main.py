@@ -137,7 +137,10 @@ def main(args) -> None:
                 score_step = jax.jit(retrieve.make_score_step(model, cfg))
                 res = retrieve.run_retrieval_eval(
                     score_step, state, eval_loader, cfg.eval_len_size,
-                    cfg.direction)
+                    cfg.direction,
+                    rank_dump_path=os.path.join(
+                        cfg.output_path, "rank_result_at_eval.json"),
+                    records=eval_ds.data)
                 logger.info("epoch %d eval: %s", epoch, res)
                 metrics_log.log({"mrr": res["mrr"]}, step=epoch)
 
@@ -148,7 +151,10 @@ def main(args) -> None:
         score_step = jax.jit(retrieve.make_score_step(model, cfg))
         results = retrieve.run_retrieval_eval(
             score_step, state, eval_loader, cfg.eval_len_size,
-            cfg.direction)
+            cfg.direction,
+            rank_dump_path=os.path.join(cfg.output_path,
+                                        "rank_result_at_eval.json"),
+            records=eval_ds.data)
         logger.info("retrieval eval: %s", results)
         with open(os.path.join(cfg.output_path, "eval_results.json"),
                   "w") as f:

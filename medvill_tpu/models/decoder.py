@@ -14,9 +14,12 @@ sc/pytorch_pretrained_bert/model.py:1132-1487) built TPU-first:
   feeding the *ground-truth* token at each step (model.py:1177-1189) — the
   mode generation_decode.py uses for ppl — while ``False`` gives true
   free-running generation;
-- beam search with per-beam cache gather, EOS freezing, duplicate-ngram
-  forbidding, and GNMT length penalty (reference: model.py:1239-1487 with
-  back-pointer traces; we gather eagerly each step so no traceback pass).
+- beam search with per-beam cache gather, reference-exact finished-beam
+  scoring (-10000 continuation penalty), duplicate-ngram forbidding with
+  ignore-set semantics, additive length penalty, and the traceback's
+  best-over-EOS-events selection (reference: model.py:1239-1487 with
+  back-pointer traces; we gather eagerly each step so no traceback pass —
+  locked against a NumPy transcription in tests/test_beam_oracle.py).
 
 Decode-time geometry (sc/data_loader.py:476-528 with max_a_len ==
 len_vis_input): position ids are simply ``arange`` over
@@ -43,6 +46,8 @@ class DecodeSettings:
     mask_word_id: int = 103      # [MASK]
     eos_id: int = 102            # [SEP] (decode CLI passes [SEP])
     beam_size: int = 1
+    # ADDITIVE per-length bonus: candidate score = cum_logp +
+    # length_penalty * n_tokens (reference: model.py:1452; default 0)
     length_penalty: float = 0.0
     forbid_duplicate_ngrams: bool = False
     ngram_size: int = 3
@@ -162,9 +167,13 @@ def _gather_beams(tree, parent: jnp.ndarray, B: int, K: int):
 
 
 def _ngram_forbid_mask(out_ids: jnp.ndarray, t, n: int, vocab: int,
-                       lengths) -> jnp.ndarray:
-    """[BK, V] additive mask forbidding tokens that would complete an n-gram
-    already present in out_ids[:, :t] (reference: model.py:1374-1404).
+                       ignore_ids: tuple = ()) -> jnp.ndarray:
+    """[BK, V] additive mask (-10000 where forbidden) for tokens that would
+    complete an n-gram already present in out_ids[:, :t]
+    (reference: model.py:1387-1404 get_dup_ngram_candidates + the
+    ``forbid_word_mask * -10000.0`` application at model.py:1289-1290).
+    Ignore-set semantics: a row forbids nothing when any of its n-1 context
+    tokens is in the set, and tokens in the set are never forbidden.
     Vectorized over all earlier start positions with position masking."""
     BK, T = out_ids.shape
     # context = last n-1 generated tokens ending at t-1
@@ -188,14 +197,36 @@ def _ngram_forbid_mask(out_ids: jnp.ndarray, t, n: int, vocab: int,
 
     match, nxt = jax.vmap(gram_at, out_axes=(1, 1))(starts)  # [BK, T]
     onehot = jax.nn.one_hot(nxt, vocab, dtype=jnp.float32)   # [BK, T, V]
-    forbid = jnp.einsum("bt,btv->bv", match.astype(jnp.float32), onehot)
-    return jnp.where(forbid > 0, -jnp.inf, 0.0)
+    forbid = jnp.einsum("bt,btv->bv", match.astype(jnp.float32), onehot) > 0
+    if ignore_ids:
+        ign = jnp.zeros((vocab,), jnp.bool_)
+        for wid in ignore_ids:
+            ign = ign.at[int(wid)].set(True)
+        tail_ignored = jnp.any(ign[ctx], axis=1)     # [BK]
+        forbid = forbid & ~tail_ignored[:, None] & ~ign[None, :]
+    return jnp.where(forbid, NEG, 0.0)
 
 
 def beam_search(model: VLPForPreTraining, variables, image,
                 settings: DecodeSettings, cls_id: int, sep_id: int,
                 pixel_indices=None):
-    """Returns (best_ids [B, T], best_scores [B])."""
+    """Returns (best_ids [B, T], best_scores [B]).
+
+    Reference-exact scoring mechanics (model.py:1239-1487):
+    - a beam whose last selected token was EOS keeps expanding, but every
+      continuation candidate carries a -10000 penalty (model.py:1305-1310)
+      — there is no hard freeze;
+    - the length penalty is ADDITIVE: candidate score
+      ``cum_logp + length_penalty * (t+1)`` (model.py:1452 — not GNMT
+      normalization; the reference default 0 makes both degenerate);
+    - the winning hypothesis is the best over (a) every EOS-emission event
+      at its emission step and (b) all K beams at the final step
+      (the traceback scan, model.py:1440-1465).  The reference stops the
+      scan at the first all-EOS frame; later events sit >=10000 below that
+      frame's, so the running max here selects identically;
+    - eager per-step gathering makes ``out_ids[b,k,:t+1]`` exactly the
+      back-pointer-reconstructed sequence, so no traceback pass is needed.
+    """
     cfg = model.config
     vis = model.len_vis_input + 2
     T = settings.max_txt_length
@@ -203,6 +234,7 @@ def beam_search(model: VLPForPreTraining, variables, image,
     L = vis + T + 1
     B = image.shape[0]
     V = cfg.vocab_size
+    NEG_INIT = -1e30  # "no candidate yet"; NOT -inf to keep arithmetic clean
 
     def apply(method, *args, **kwargs):
         return model.apply(variables, *args, method=method, **kwargs)
@@ -218,7 +250,8 @@ def beam_search(model: VLPForPreTraining, variables, image,
         lambda x: jnp.repeat(x, K, axis=0), caches)  # [B*K, ...]
 
     def step(t, carry):
-        caches, out_ids, scores, last_tok, done, lengths = carry
+        (caches, out_ids, scores, last_tok, last_eos, best_score,
+         best_ids) = carry
         BK = B * K
         prev_committed = jnp.where(t == 0,
                                    jnp.full((BK,), sep_id, jnp.int32),
@@ -236,26 +269,21 @@ def beam_search(model: VLPForPreTraining, variables, image,
             VLPForPreTraining.decode_step, window_ids, pos, types, caches,
             vis - 1 + t, _window_bias(vis, t, L))
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        # min-length: forbid EOS before min_len (reference: model.py:1303)
+        if settings.forbid_duplicate_ngrams:
+            logp = logp + _ngram_forbid_mask(out_ids, t, settings.ngram_size,
+                                             V, settings.forbid_ignore_ids)
+        # min-length: SET the EOS score to -10000 while t+1 <= min_len
+        # (reference fill_, model.py:1291-1292)
         logp = jnp.where(
             (t < settings.min_len)
-            & (jnp.arange(V)[None, :] == settings.eos_id), -jnp.inf, logp)
-        if settings.forbid_duplicate_ngrams:
-            forbid = _ngram_forbid_mask(out_ids, t, settings.ngram_size,
-                                        V, lengths)
-            if settings.forbid_ignore_ids:
-                exempt = jnp.zeros((V,), jnp.bool_)
-                for wid in settings.forbid_ignore_ids:
-                    exempt = exempt.at[wid].set(True)
-                forbid = jnp.where(exempt[None, :], 0.0, forbid)
-            logp = logp + forbid
-        # finished beams: only EOS continuation at no cost
-        eos_row = jnp.full((V,), -jnp.inf).at[settings.eos_id].set(0.0)
-        logp = jnp.where(done[:, None], eos_row[None, :], logp)
-        total = scores.reshape(B, K, 1) + logp.reshape(B, K, V)
+            & (jnp.arange(V)[None, :] == settings.eos_id), NEG, logp)
+        # continuations of a beam whose last token was EOS carry -10000
+        # (model.py:1305-1307 last_eos * -10000 + last_seq_scores)
+        total = (scores.reshape(B, K, 1) + logp.reshape(B, K, V)
+                 + NEG * last_eos.reshape(B, K, 1))
         # first step: all beams identical -> keep only beam 0
         total = jnp.where(
-            (t == 0) & (jnp.arange(K)[None, :, None] > 0), -jnp.inf, total)
+            (t == 0) & (jnp.arange(K)[None, :, None] > 0), NEG_INIT, total)
         flat = total.reshape(B, K * V)
         top_scores, top_idx = jax.lax.top_k(flat, K)      # [B, K]
         parent = top_idx // V
@@ -263,26 +291,39 @@ def beam_search(model: VLPForPreTraining, variables, image,
 
         new_caches = _gather_beams(new_caches, parent, B, K)
         out_ids = _gather_beams(out_ids, parent, B, K)
-        done_g = _gather_beams(done, parent, B, K)
-        lengths_g = _gather_beams(lengths, parent, B, K)
         token_flat = token.reshape(-1)
         out_ids = out_ids.at[:, t].set(token_flat)
-        new_done = done_g | (token_flat == settings.eos_id)
-        new_lengths = jnp.where(done_g, lengths_g, lengths_g + 1)
+        # EOS-emission events compete for the final answer at additive
+        # penalty * (t+1) (traceback candidate, model.py:1450-1456)
+        ev_score = jnp.where(
+            token == settings.eos_id,
+            top_scores + settings.length_penalty
+            * (t + 1).astype(jnp.float32), NEG_INIT)     # [B, K]
+        k_ev = jnp.argmax(ev_score, axis=1)
+        cand_score = jnp.take_along_axis(ev_score, k_ev[:, None],
+                                         axis=1)[:, 0]
+        cand_ids = out_ids.reshape(B, K, T)[jnp.arange(B), k_ev]
+        better = cand_score > best_score
+        best_score = jnp.where(better, cand_score, best_score)
+        best_ids = jnp.where(better[:, None], cand_ids, best_ids)
+        new_last_eos = (token_flat == settings.eos_id).astype(jnp.float32)
         return (new_caches, out_ids, top_scores.reshape(-1), token_flat,
-                new_done, new_lengths)
+                new_last_eos, best_score, best_ids)
 
     init = (caches, jnp.zeros((B * K, T), jnp.int32),
             jnp.zeros((B * K,)), jnp.zeros((B * K,), jnp.int32),
-            jnp.zeros((B * K,), jnp.bool_), jnp.zeros((B * K,), jnp.int32))
-    _, out_ids, scores, _, done, lengths = jax.lax.fori_loop(0, T, step, init)
+            jnp.zeros((B * K,)), jnp.full((B,), NEG_INIT),
+            jnp.zeros((B, T), jnp.int32))
+    (_, out_ids, scores, _, _, best_score, best_ids) = jax.lax.fori_loop(
+        0, T, step, init)
 
-    # length penalty: score / len^alpha (alpha=0 -> raw score, matching the
-    # reference default length_penalty=0)
-    lens = jnp.maximum(lengths.astype(jnp.float32), 1.0)
-    norm = scores / jnp.power(lens, settings.length_penalty)
-    norm = norm.reshape(B, K)
-    best = jnp.argmax(norm, axis=-1)
-    best_ids = out_ids.reshape(B, K, T)[jnp.arange(B), best]
-    best_scores = norm[jnp.arange(B), best]
-    return best_ids, best_scores
+    # final frame: all K beams are candidates at penalty * T
+    # (fid == last_frame_id branch of the traceback, model.py:1451)
+    fin = scores.reshape(B, K) + settings.length_penalty * float(T)
+    k_fin = jnp.argmax(fin, axis=1)
+    fin_score = jnp.take_along_axis(fin, k_fin[:, None], axis=1)[:, 0]
+    fin_ids = out_ids.reshape(B, K, T)[jnp.arange(B), k_fin]
+    better = fin_score > best_score
+    best_score = jnp.where(better, fin_score, best_score)
+    best_ids = jnp.where(better[:, None], fin_ids, best_ids)
+    return best_ids, best_score

@@ -147,11 +147,17 @@ def make_cnn_score_step(model, cfg: RetrievalConfig):
 
 def run_retrieval_eval(score_step, state, batches, eval_len_size: int,
                        direction: str = "i2t",
-                       rank_dump_path: Optional[str] = None):
+                       rank_dump_path: Optional[str] = None,
+                       records: Optional[list] = None):
     """Collect scores + is_aligned over the pool, reshape to
     [n_queries, pool], evaluate (full_dset_retrieval.py:577-643).  With
-    ``rank_dump_path`` also writes the per-query [candidate_idx, rank] JSON
-    the reference dumps (full_dset_retrieval.py:419-429,591-613)."""
+    ``rank_dump_path`` also writes the per-query rank dump the reference
+    appends to rank_result_at_eval.json: one JSON line
+    ``{"Rank": rank, "Result": <dataset record>}`` per aligned example
+    (full_dset_retrieval.py:419-429,591-613; the reference writes each line
+    twice by accident — we write once).  ``records`` is the dataset's raw
+    record list used to resolve Result; without it the line carries the
+    candidate index instead."""
     from medvill_tpu.eval.metrics import compute_ranks
 
     scores, labels, indices = [], [], []
@@ -173,7 +179,11 @@ def run_retrieval_eval(score_step, state, batches, eval_len_size: int,
 
         idx = np.concatenate(indices)[:n].reshape(-1, eval_len_size)
         _, aligned_lst = compute_ranks(sim, lab, idx)
-        with open(rank_dump_path, "w") as f:
-            json.dump(aligned_lst, f)
+        with open(rank_dump_path, "a", encoding="utf-8") as f:
+            for cand_idx, rank in aligned_lst:
+                result = (records[cand_idx] if records is not None
+                          else cand_idx)
+                f.write(json.dumps({"Rank": rank, "Result": result},
+                                   ensure_ascii=False) + "\n")
         out["rank_dump"] = rank_dump_path
     return out

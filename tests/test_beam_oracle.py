@@ -1,0 +1,230 @@
+"""Beam-search semantics locked against a literal NumPy transcription of the
+reference ``BertForSeq2SeqDecoder.beam_search``
+(sc/pytorch_pretrained_bert/model.py:1239-1487): per-beam top-K -> K*K
+selection with back-pointers, -10000 continuation penalty for beams whose
+last token was EOS, min_len EOS fill, duplicate-ngram forbidding with
+ignore-set semantics, additive length penalty, and the traceback's
+best-over-EOS-events final selection.
+
+The model probe (next-token log-probs for a given committed prefix) is the
+same math in both implementations — already proven equivalent to full
+re-forwarding in tests/test_decode_equivalence.py — so what this test
+isolates is the SEARCH logic."""
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from medvill_tpu.core.config import (BertConfig, FinetuneConfig,
+                                     ImageEncoderConfig)
+from medvill_tpu.models.decoder import (DecodeSettings, _prefill_bias,
+                                        beam_search, greedy_decode)
+from medvill_tpu.models.seq2seq import VLPForPreTraining
+from medvill_tpu.train import finetune as ft
+
+T = 6
+NEG = -10000.0
+
+
+@pytest.fixture(scope="module")
+def tiny_vlp():
+    bert = BertConfig.vlp(BertConfig.test_tiny(vocab_size=32))
+    cfg = FinetuneConfig(
+        bert=bert,
+        image=ImageEncoderConfig(img_size=64, num_image_embeds=4,
+                                 encoder="full-fiber"),
+        len_vis_input=4, max_len_b=10, max_seq_length=24, max_pred=3,
+        img_size=64)
+    model = ft.build_model(cfg)
+    B, L = 2, cfg.max_seq_length
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1)},
+        jnp.zeros((B, 64, 64, 3)), jnp.zeros((B, L), jnp.int32),
+        jnp.zeros((B, L), jnp.int32), jnp.zeros((B, 1, L, L)),
+        masked_pos=jnp.zeros((B, cfg.max_pred), jnp.int32),
+        deterministic=True)
+    img = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (B, 64, 64, 3)).astype(np.float32))
+    return cfg, model, variables, img
+
+
+def make_probe(cfg, model, variables, img, settings, cls_id, sep_id, n_rows):
+    """logp(committed [n_rows, t]) -> [n_rows, V] by re-encoding the whole
+    text window each call (no cache reuse; rows replicate the image B->BK)."""
+    vis = cfg.len_vis_input + 2
+    L = vis + T + 1
+    B = img.shape[0]
+    rep = n_rows // B
+    img_rep = jnp.repeat(img, rep, axis=0)
+
+    def probe(committed: np.ndarray) -> np.ndarray:
+        t = committed.shape[1]
+        caches = model.bind(variables).bert.init_kv_caches(n_rows, L)
+        seg_ids = jnp.zeros((n_rows, vis), jnp.int32).at[:, 0].set(
+            cls_id).at[:, -1].set(sep_id)
+        seg_types = jnp.full((n_rows, vis), settings.img_type_id, jnp.int32)
+        _, caches = model.apply(variables, img_rep, seg_ids, seg_types,
+                                caches, _prefill_bias(vis, L),
+                                method=VLPForPreTraining.decode_prefill)
+        W = t + 1
+        ids = np.zeros((n_rows, W), np.int32)
+        ids[:, :t] = committed
+        ids[:, -1] = settings.mask_word_id
+        pos = jnp.broadcast_to(vis + jnp.arange(W, dtype=jnp.int32),
+                               (n_rows, W))
+        types = jnp.full((n_rows, W), settings.txt_type_id, jnp.int32)
+        c = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, L), 3)
+        r = vis + jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, L), 2)
+        bias = jnp.where((c < vis) | (c <= r), 0.0, NEG)
+        logits, _ = model.apply(variables, jnp.asarray(ids), pos, types,
+                                caches, vis, bias,
+                                method=VLPForPreTraining.decode_step)
+        return np.asarray(
+            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
+
+    return probe
+
+
+def reference_beam_search(probe, B, V, settings):
+    """Literal transcription of model.py:1239-1487 (search logic only)."""
+    K = settings.beam_size
+    eos = settings.eos_id
+    total_scores, beam_masks, step_ids, step_back_ptrs = [], [], [], []
+    partial_seqs = []
+    forbid_word_mask = None  # [BK, V]
+    committed = np.zeros((B * K, 0), np.int32)
+    first = True
+    for t in range(T):
+        if first:
+            # model not yet beam-expanded: one row per batch elem (the
+            # probe is built at BK rows, so take every K-th identical row)
+            log_scores = np.array(probe(committed)[::K])    # [B, V]
+        else:
+            log_scores = np.array(probe(committed))         # [BK, V]
+        if forbid_word_mask is not None:
+            log_scores = log_scores + forbid_word_mask * NEG
+        if settings.min_len and (t + 1 <= settings.min_len):
+            log_scores[:, eos] = NEG                        # fill_
+        if first:
+            # topk over V per batch row (model.py:1295-1302)
+            kk_ids = np.argsort(-log_scores, axis=1, kind="stable")[:, :K]
+            kk_scores = np.take_along_axis(log_scores, kk_ids, axis=1)
+            k_ids, k_scores = kk_ids, kk_scores
+            back_ptrs = np.zeros((B, K), np.int64)
+        else:
+            kk_ids = np.argsort(-log_scores, axis=1, kind="stable")[:, :K]
+            kk_scores = np.take_along_axis(log_scores, kk_ids, axis=1)
+            last_eos = np.reshape(beam_masks[-1], (B * K, 1))
+            last_seq_scores = np.reshape(total_scores[-1], (B * K, 1))
+            kk_scores = kk_scores + last_eos * NEG + last_seq_scores
+            kk_scores = kk_scores.reshape(B, K * K)
+            sel = np.argsort(-kk_scores, axis=1, kind="stable")[:, :K]
+            k_scores = np.take_along_axis(kk_scores, sel, axis=1)
+            back_ptrs = sel // K
+            k_ids = np.take_along_axis(kk_ids.reshape(B, K * K), sel, axis=1)
+        step_back_ptrs.append(back_ptrs)
+        step_ids.append(k_ids)
+        beam_masks.append((k_ids == eos).astype(np.float64))
+        total_scores.append(k_scores.astype(np.float64))
+        # partial seq bookkeeping (model.py:1373-1386)
+        wids, ptrs = k_ids.tolist(), back_ptrs.tolist()
+        if first:
+            partial_seqs = [[wids[b][k]] for b in range(B) for k in range(K)]
+        else:
+            partial_seqs = [partial_seqs[ptrs[b][k] + b * K] + [wids[b][k]]
+                            for b in range(B) for k in range(K)]
+        committed = np.asarray(partial_seqs, np.int32)
+        # duplicate-ngram forbidding (model.py:1387-1425)
+        forbid_word_mask = None
+        if settings.forbid_duplicate_ngrams:
+            n = settings.ngram_size
+            ignore = set(settings.forbid_ignore_ids)
+
+            def dup_cands(seq):
+                cands = set()
+                if len(seq) < n:
+                    return []
+                tail = seq[-(n - 1):]
+                if ignore and any(tk in ignore for tk in tail):
+                    return []
+                for i in range(len(seq) - (n - 1)):
+                    if tail == seq[i:i + n - 1] and not (
+                            ignore and seq[i + n - 1] in ignore):
+                        cands.add(seq[i + n - 1])
+                return sorted(cands)
+
+            if len(partial_seqs[0]) >= n:
+                dc = [dup_cands(s) for s in partial_seqs]
+                if max(len(x) for x in dc) > 0:
+                    buf = np.zeros((B * K, V))
+                    for bk, cands in enumerate(dc):
+                        for wid in cands:
+                            buf[bk, wid] = 1.0
+                    forbid_word_mask = buf
+        first = False
+    # traceback (model.py:1429-1465)
+    pred_seqs, max_scores = [], []
+    for b in range(B):
+        scores = [x[b] for x in total_scores]
+        wids_list = [x[b] for x in step_ids]
+        ptrs = [x[b] for x in step_back_ptrs]
+        last_frame_id = len(scores) - 1
+        for i, wids in enumerate(wids_list):
+            if all(wid == eos for wid in wids):
+                last_frame_id = i
+                break
+        max_score, frame_id, pos_in_frame = -math.inf, -1, -1
+        for fid in range(last_frame_id + 1):
+            for i, wid in enumerate(wids_list[fid]):
+                if wid == eos or fid == last_frame_id:
+                    s = scores[fid][i] + settings.length_penalty * (fid + 1)
+                    if s > max_score:
+                        max_score, frame_id, pos_in_frame = s, fid, i
+        seq = [wids_list[frame_id][pos_in_frame]]
+        for fid in range(frame_id, 0, -1):
+            pos_in_frame = ptrs[fid][pos_in_frame]
+            seq.append(wids_list[fid - 1][pos_in_frame])
+        seq.reverse()
+        pred_seqs.append(seq)
+        max_scores.append(max_score)
+    return pred_seqs, max_scores
+
+
+def _pick_eos(cfg, model, variables, img):
+    """Pick a token the model actually emits mid-sequence so EOS events
+    exercise the finished-beam paths."""
+    settings = DecodeSettings(max_txt_length=T, mask_word_id=4, eos_id=-1)
+    out, _, _ = greedy_decode(model, variables, img, settings, 2, 3)
+    return int(np.asarray(out)[0, 2])
+
+
+@pytest.mark.parametrize("case", ["plain", "penalty_minlen", "ngram"])
+def test_beam_matches_reference_transcription(tiny_vlp, case):
+    cfg, model, variables, img = tiny_vlp
+    B, V, K = img.shape[0], cfg.bert.vocab_size, 3
+    eos = _pick_eos(cfg, model, variables, img)
+    kwargs = dict(max_txt_length=T, mask_word_id=4, eos_id=eos, beam_size=K)
+    if case == "penalty_minlen":
+        kwargs.update(length_penalty=0.7, min_len=2)
+    if case == "ngram":
+        kwargs.update(forbid_duplicate_ngrams=True, ngram_size=2,
+                      length_penalty=0.3)
+    settings = DecodeSettings(**kwargs)
+
+    got_ids, got_scores = beam_search(model, variables, img, settings, 2, 3)
+    got_ids, got_scores = np.asarray(got_ids), np.asarray(got_scores)
+
+    probe = make_probe(cfg, model, variables, img, settings, 2, 3, B * K)
+    want_seqs, want_scores = reference_beam_search(probe, B, V, settings)
+
+    for b in range(B):
+        seq = want_seqs[b]
+        np.testing.assert_allclose(got_scores[b], want_scores[b], rtol=1e-4)
+        assert got_ids[b, :len(seq)].tolist() == seq, \
+            (case, b, got_ids[b].tolist(), seq)
+        assert (got_ids[b, len(seq):] == 0).all()

@@ -1,0 +1,124 @@
+"""Decode CLI scenario harness: one command over a scenarios JSON reproduces
+the reference's evaluation artifact set (generation_decode.py:46,135-245:
+scenario loop; :378,423: bootstrap resampling; :594-632: run-named BLEU CSVs
++ best-bleu tracking) on synthetic data."""
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from medvill_tpu.cli import decode_main
+from medvill_tpu.core import checkpoint as ckpt_lib
+from medvill_tpu.core.config import (BertConfig, FinetuneConfig,
+                                     ImageEncoderConfig)
+from medvill_tpu.data.tokenization import build_vocab
+from medvill_tpu.train import finetune as ft
+
+N_REC = 4
+IMG = 64
+VIS = 4
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("decode_fixture")
+    from PIL import Image
+
+    words = [f"word{i}" for i in range(40)]
+    vocab = build_vocab(words)
+    with open(d / "vocab.txt", "w") as f:
+        for tok in vocab:
+            f.write(tok + "\n")
+    rng = np.random.default_rng(0)
+    with open(d / "Test.jsonl", "w") as f:
+        for i in range(N_REC):
+            img_name = f"img_{i}.jpg"
+            Image.fromarray(rng.integers(0, 255, (IMG, IMG), np.uint8),
+                            "L").save(d / img_name)
+            rec = {"id": f"s{i}", "img": img_name,
+                   "text": " ".join(rng.choice(words, 6)),
+                   "label": "'Others'"}
+            f.write(json.dumps(rec) + "\n")
+    # a tiny finetuned checkpoint the harness can recover
+    vocab_size = len(vocab)
+    cfg = FinetuneConfig(
+        bert=BertConfig.vlp(BertConfig.test_tiny(vocab_size=vocab_size)),
+        image=ImageEncoderConfig(img_size=IMG, num_image_embeds=VIS,
+                                 encoder="full-fiber"),
+        len_vis_input=VIS, max_seq_length=24, max_pred=3, img_size=IMG)
+    model = ft.build_model(cfg)
+    L = cfg.max_seq_length
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((2, IMG, IMG, 3)), jnp.zeros((2, L), jnp.int32),
+        jnp.zeros((2, L), jnp.int32), jnp.zeros((2, 1, L, L)),
+        masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
+        deterministic=True)
+    ckpt_lib.save(str(d / "model_a"), 0,
+                  {"params": variables["params"],
+                   "batch_stats": variables.get("batch_stats", {})})
+    return str(d), vocab_size
+
+
+def test_scenario_harness_artifact_set(fixture_dir, tmp_path):
+    d, vocab_size = fixture_dir
+    out = str(tmp_path / "out")
+    scenarios = [
+        {"dataset": "openi", "model_name": "s2s",
+         "src_file": os.path.join(d, "Test.jsonl"),
+         "model_recover_path": os.path.join(d, "model_a")},
+        {"dataset": "openi", "model_name": "vlp",
+         "src_file": os.path.join(d, "Test.jsonl"),
+         "model_recover_path": os.path.join(d, "model_a"),
+         "beam_size": 2},
+    ]
+    sc_path = str(tmp_path / "scenarios.json")
+    with open(sc_path, "w") as f:
+        json.dump(scenarios, f)
+
+    args = decode_main.build_parser().parse_args([
+        "--vocab_file", os.path.join(d, "vocab.txt"),
+        "--scenarios", sc_path,
+        "--output_dir", out,
+        "--batch_size", "2",
+        "--max_tgt_length", "4",
+        "--len_vis_input", str(VIS),
+        "--img_size", str(IMG),
+        "--max_seq_length", "24",
+        "--bert_model", "test-tiny",
+        "--vocab_size", str(vocab_size),
+        "--random_bootstrap_testnum", "2",
+        "--bootstrap_resample", "true",
+    ])
+    decode_main.main(args)
+
+    results = json.load(open(os.path.join(out, "all_results.json")))
+    # 2 scenarios x 1 model x 2 bootstraps
+    assert len(results) == 4
+    for r in results:
+        assert {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "best_bleu1",
+                "run_name", "bootstrap", "dataset",
+                "model_name"} <= set(r)
+        # per-run artifact pair: <run>.csv + <run>_gt.csv + predictions
+        assert os.path.exists(os.path.join(out, r["run_name"] + ".csv"))
+        assert os.path.exists(os.path.join(out, r["run_name"] + "_gt.csv"))
+        assert os.path.exists(os.path.join(
+            out, r["run_name"] + "_predictions.json"))
+    # greedy scenario reports ppl and is run-named with it
+    s2s = [r for r in results if r["model_name"] == "s2s"]
+    assert all("ppl" in r and "ppl_openi_s2s" in r["run_name"] for r in s2s)
+    # beam scenario run names carry the beam size
+    vlp = [r for r in results if r["model_name"] == "vlp"]
+    assert all("2beam" in r["run_name"] for r in vlp)
+    assert {r["bootstrap"] for r in vlp} == {1, 2}
+    # best-bleu tracking is monotone nondecreasing over runs
+    seen = -1.0
+    for r in results:
+        assert r["best_bleu1"] >= max(seen, r["Bleu_1"]) - 1e-12
+        seen = max(seen, r["best_bleu1"])

@@ -75,6 +75,80 @@ def bench_decode(batch: int = 8, iters: int = 3) -> None:
     }))
 
 
+def bench_finetune(batch: int = 16, iters: int = 8) -> None:
+    """Report-generation finetune train-step throughput (pairs/sec/chip) at
+    the reference config point: VLP BERT-base, 256 image embeds @512px,
+    max_seq 512, label smoothing 0.1, BertAdam (reference: sc/finetune.py:
+    63-71,124 — batch 2/GPU there; per-chip batch is a flag here)."""
+    import dataclasses
+
+    from medvill_tpu.core.config import BertConfig, FinetuneConfig, \
+        ImageEncoderConfig
+    from medvill_tpu.models import resnet as resnet_lib
+    from medvill_tpu.train import finetune as ft
+    from medvill_tpu.train import optim
+    from medvill_tpu.train.pretrain import TrainState
+
+    cfg = FinetuneConfig(
+        bert=dataclasses.replace(BertConfig.vlp(), remat=batch > 24),
+        image=ImageEncoderConfig(num_image_embeds=256, img_size=512,
+                                 encoder="full-fiber"),
+        len_vis_input=256, img_size=512, batch_size=batch,
+        label_smoothing=0.1, max_pred=128)
+    model = ft.build_model(cfg)
+    L = cfg.max_seq_length
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((2, 512, 512, 3)), jnp.zeros((2, L), jnp.int32),
+        jnp.zeros((2, L), jnp.int32), jnp.zeros((2, 1, L, L)),
+        masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
+        deterministic=True)
+    tx = ft.make_finetune_tx(cfg)
+    tx = optim.masked_trainable(
+        tx, lambda p: resnet_lib.cnn_prefix_freeze_mask(
+            p, ("bert", "img_encoder")))
+    state = TrainState(step=jnp.zeros([], jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]))
+    rng = np.random.default_rng(0)
+    vis2 = cfg.len_vis_input + 2
+    batch_np = dict(
+        image=rng.standard_normal((batch, 512, 512, 3)).astype(np.float32),
+        input_ids=rng.integers(0, cfg.bert.vocab_size,
+                               (batch, L)).astype(np.int32),
+        segment_ids=np.concatenate(
+            [np.full((batch, vis2), 4, np.int32),
+             np.full((batch, L - vis2), 5, np.int32)], 1),
+        mask_spec=np.stack([np.full(batch, vis2, np.int32),
+                            np.full(batch, L, np.int32)], -1),
+        masked_pos=rng.integers(vis2, L,
+                                (batch, cfg.max_pred)).astype(np.int32),
+        masked_ids=rng.integers(0, cfg.bert.vocab_size,
+                                (batch, cfg.max_pred)).astype(np.int32),
+        masked_weights=np.ones((batch, cfg.max_pred), np.float32),
+    )
+    dev_batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+    step = jax.jit(ft.make_train_step(model, tx, cfg, t_total=10000),
+                   donate_argnums=(0,))
+    state, aux = step(state, dev_batch, jax.random.PRNGKey(1))
+    _ = float(aux["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, aux = step(state, dev_batch, jax.random.PRNGKey(1))
+        _ = float(aux["loss"])
+    dt = time.perf_counter() - t0
+    pairs_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "finetune_reportgen_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "image-text pairs/sec/chip (batch %d)" % batch,
+        # denominator: the reference trains at batch 2/GPU on RTX-3090s;
+        # ~20 pairs/s is a documented estimate for one A100 at this config
+        "vs_baseline": round(pairs_per_sec / 20.0, 3),
+    }))
+
+
 def main() -> None:
     import os
 
@@ -86,6 +160,11 @@ def main() -> None:
         batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
         iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
         bench_decode(batch, iters)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "finetune":
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        iters = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        bench_finetune(batch, iters)
         return
 
     from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
@@ -113,7 +192,13 @@ def main() -> None:
         # chunk buffer is [B, chunk, vocab] f32 — scale down at large batch
         mlm_loss_chunk=128 if batch <= 96 else 64,
     )
+    # reference semantics: CNN prefix (conv1/bn1/layer1) is frozen by the
+    # model constructor (cxrbert_origin.py:66-70) — train step stop-grads it
+    from medvill_tpu.models import resnet as resnet_lib
     tx = optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay)
+    tx = optim.masked_trainable(
+        tx, lambda p: resnet_lib.cnn_prefix_freeze_mask(
+            p, ("enc", "img_encoder")))
     model, state = init_state(cfg, jax.random.PRNGKey(0), tx)
 
     rng = np.random.default_rng(0)

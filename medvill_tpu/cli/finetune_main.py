@@ -21,6 +21,7 @@ from medvill_tpu.data.seq2seq import Img2TxtDataset
 from medvill_tpu.data.tokenization import BertTokenizer
 from medvill_tpu.data.vqa import VQADataset
 from medvill_tpu.train import finetune as ft
+from medvill_tpu.train import optim
 from medvill_tpu.train.pretrain import TrainState
 from medvill_tpu.utils.logging import MetricLogger, create_logger
 from medvill_tpu.utils.seed import set_seed
@@ -170,6 +171,14 @@ def main(args) -> None:
         logger.info("initialized visual trunk from %s",
                     args.resnet_init_path)
     tx = ft.make_finetune_tx(cfg)
+    if cfg.image.freeze_prefix_stages:
+        # unconditional CNN-prefix freeze from the reference model
+        # constructor (model.py:910-924); the train step stop-grads the
+        # same leaves
+        from medvill_tpu.models import resnet as resnet_lib
+        tx = optim.masked_trainable(
+            tx, lambda p: resnet_lib.cnn_prefix_freeze_mask(
+                p, ("bert", "img_encoder")))
     state = TrainState(step=jnp.zeros([], jnp.int32), params=params,
                        batch_stats=batch_stats, opt_state=tx.init(params))
 

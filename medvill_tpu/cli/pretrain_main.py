@@ -176,6 +176,15 @@ def train(args) -> None:
     tx = optim.accumulate(
         optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay),
         cfg.gradient_accumulation_steps)
+    if cfg.image.freeze_prefix_stages and cfg.image.encoder != "ViT":
+        # unconditional CNN-prefix freeze — the reference model constructor
+        # sets requires_grad=False on torchvision children [:5] regardless of
+        # init source (cxrbert_origin.py:66-70); the train step stop-grads
+        # the same leaves so XLA drops their backward
+        from medvill_tpu.models import resnet as resnet_lib
+        tx = optim.masked_trainable(
+            tx, lambda p: resnet_lib.cnn_prefix_freeze_mask(
+                p, ("enc", "img_encoder")))
     model, state = init_state(cfg, jax.random.PRNGKey(cfg.seed), tx)
     if getattr(args, "hf_bert_checkpoint", None):
         from medvill_tpu.core import torch_init
@@ -189,18 +198,12 @@ def train(args) -> None:
                     args.hf_bert_checkpoint)
     if getattr(args, "resnet_init_path", None):
         from medvill_tpu.core import torch_init
-        from medvill_tpu.models import resnet as resnet_lib
 
         new_params, new_bs = torch_init.init_resnet_from_torch(
             state.params, state.batch_stats, args.resnet_init_path,
             trunk_path=("enc", "img_encoder"))
-        if cfg.image.freeze_prefix_stages:
-            # reference partial freeze on pretrained init: torchvision
-            # children [5:] trainable (cxrbert_origin.py:66-70)
-            mask = torch_init.partial_freeze_mask(
-                new_params, ("enc", "img_encoder"),
-                resnet_lib.trainable_mask)
-            tx = optim.masked_trainable(tx, mask)
+        # the partial freeze (cxrbert_origin.py:66-70) is already applied
+        # unconditionally to tx above
         state = state.replace(params=new_params, batch_stats=new_bs,
                               opt_state=tx.init(new_params))
         logger.info("initialized visual trunk from %s (partial freeze=%s)",

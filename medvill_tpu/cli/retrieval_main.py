@@ -93,6 +93,13 @@ def main(args) -> None:
     pcfg = PretrainConfig(seq_len=cfg.seq_len, bert=cfg.bert,
                           image=cfg.image, lr=cfg.lr)
     tx = optim.adamw(cfg.lr)
+    if cfg.image.freeze_prefix_stages and cfg.image.encoder != "ViT":
+        # CNN-prefix freeze inherited from the CXRBERT constructor
+        # (cxrbert_origin.py:66-70)
+        from medvill_tpu.models import resnet as resnet_lib
+        tx = optim.masked_trainable(
+            tx, lambda p: resnet_lib.cnn_prefix_freeze_mask(
+                p, ("enc", "img_encoder")))
     _, state = init_state(pcfg, jax.random.PRNGKey(cfg.seed), tx)
     if cfg.pretrained_ckpt:
         epoch = ckpt_lib.latest_epoch(cfg.pretrained_ckpt)

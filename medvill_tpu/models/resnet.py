@@ -177,3 +177,27 @@ def trainable_mask(params) -> dict:
         trainable = top.startswith(("layer2", "layer3", "layer4"))
         out[path] = trainable
     return flax.traverse_util.unflatten_dict(out)
+
+
+def cnn_prefix_freeze_mask(params, trunk_path: Sequence[str]):
+    """Full-param-tree bool mask for the reference's unconditional CNN-prefix
+    freeze: every CNN image-encoder model constructs with
+    ``requires_grad=False`` on torchvision children [:5] = conv1/bn1/relu/
+    maxpool/layer1 (reference: models/cxrbert_origin.py:66-70,
+    sc/pytorch_pretrained_bert/model.py:910-924,1066-1080) — regardless of
+    init source.  True everywhere except the frozen prefix of the trunk at
+    ``trunk_path``."""
+    import flax
+    import jax
+
+    flat = flax.traverse_util.flatten_dict(
+        jax.tree_util.tree_map(lambda _: True, params))
+    prefix = tuple(trunk_path)
+    k = len(prefix)
+    trunk_sub = {p[k:]: v for p, v in flat.items() if p[:k] == prefix}
+    if not trunk_sub:
+        raise ValueError(f"no params under trunk path {prefix}")
+    sub_mask = flax.traverse_util.flatten_dict(
+        trainable_mask(flax.traverse_util.unflatten_dict(trunk_sub)))
+    out = {p: (sub_mask[p[k:]] if p[:k] == prefix else True) for p in flat}
+    return flax.traverse_util.unflatten_dict(out)

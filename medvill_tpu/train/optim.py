@@ -234,8 +234,27 @@ def masked_trainable(tx: optax.GradientTransformation,
                      trainable_mask) -> optax.GradientTransformation:
     """Freeze params where mask is False (reference partial CNN freeze,
     models/cxrbert_origin.py:66-70, and the classification-time re-freeze of
-    img/txt submodules, mmbt/main.py:204-209)."""
+    img/txt submodules, mmbt/main.py:204-209).
+
+    ``trainable_mask`` may be a bool pytree or a callable ``params -> bool
+    pytree`` (so the wrap can happen before the params exist)."""
+    to_labels = lambda m: jax.tree_util.tree_map(
+        lambda t: "train" if t else "freeze", m)
+    labels = ((lambda params: to_labels(trainable_mask(params)))
+              if callable(trainable_mask) else to_labels(trainable_mask))
     return optax.multi_transform(
-        {"train": tx, "freeze": optax.set_to_zero()},
-        jax.tree_util.tree_map(
-            lambda t: "train" if t else "freeze", trainable_mask))
+        {"train": tx, "freeze": optax.set_to_zero()}, labels)
+
+
+def stop_frozen(params, trainable_mask):
+    """``lax.stop_gradient`` on frozen leaves inside a loss_fn.
+
+    Frozen-param grads become symbolic zeros, and — because the frozen CNN
+    prefix (conv1/bn1/layer1) sits at the very bottom of the network — XLA
+    dead-code-eliminates the entire backward pass through those stages (the
+    most bandwidth-heavy 256²/128²-spatial convs at 512 px input).  The
+    optimizer-side mask (``masked_trainable``) is still required so weight
+    decay does not move the frozen params."""
+    return jax.tree_util.tree_map(
+        lambda p, t: p if t else jax.lax.stop_gradient(p),
+        params, trainable_mask)

@@ -193,6 +193,7 @@ def make_train_step(model: CXRBERT, tx: optax.GradientTransformation,
     """Returns jit-able (state, batch, rng) -> (state, metrics)."""
 
     num_fibers = cfg.image.num_fibers
+    freeze = cfg.image.freeze_prefix_stages and cfg.image.encoder != "ViT"
 
     def train_step(state: TrainState, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -204,6 +205,14 @@ def make_train_step(model: CXRBERT, tx: optax.GradientTransformation,
             pixel_indices = None
 
         def loss_fn(params):
+            if freeze:
+                # stop-grad the frozen CNN prefix (cxrbert_origin.py:66-70):
+                # XLA then DCEs the backward through conv1/bn1/layer1 — the
+                # bandwidth-heaviest convs of the 512-px trunk
+                from medvill_tpu.models.resnet import cnn_prefix_freeze_mask
+                params = optim.stop_frozen(
+                    params, cnn_prefix_freeze_mask(
+                        params, ("enc", "img_encoder")))
             return pretrain_loss_and_metrics(
                 model, params, state.batch_stats, batch, dropout_rng,
                 pixel_indices, cfg, train=True, attention_fn=attention_fn)

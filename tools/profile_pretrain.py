@@ -81,8 +81,10 @@ def run_step_under_trace(batch: int, mode: str) -> None:
 
 
 def parse_xplane() -> None:
-    """Aggregate device-op durations from the newest xplane proto using the
-    tensorflow profiler proto parser if available, else raw scan."""
+    """Aggregate device time by module (provenance) and op category from the
+    newest xplane via xprof's op_profile converter."""
+    import json
+
     paths = sorted(glob.glob(os.path.join(
         TRACE_DIR, "**", "*.xplane.pb"), recursive=True),
         key=os.path.getmtime)
@@ -90,31 +92,79 @@ def parse_xplane() -> None:
         print("no xplane captured")
         return
     path = paths[-1]
-    try:
-        from tensorflow.python.profiler.internal import _pywrap_profiler  # noqa
-    except Exception:
-        pass
-    # xplane proto: parse with the xprof/tensorboard-plugin if installed
-    try:
-        from xprof.convert import raw_to_tool_data as rtd  # type: ignore
+    from xprof.convert import raw_to_tool_data as rtd  # type: ignore
 
-        data, _ = rtd.xspace_to_tool_data([path], "op_profile", {})
-        print(data[:4000])
-        return
-    except Exception:
-        pass
-    # fallback: protobuf-less coarse scan — pull op names + durations via
-    # the XSpace wire format is overkill; instead report file location
-    print(f"trace written: {path}")
-    print("open with xprof/tensorboard for the op breakdown")
+    data, _ = rtd.xspace_to_tool_data([path], "op_profile", {})
+    tree = json.loads(data if isinstance(data, str) else data.decode())
+    with open("/tmp/op_profile.json", "w") as f:
+        json.dump(tree, f)
 
+    by_module = collections.Counter()
+    by_category = collections.Counter()
+    detail = collections.Counter()
 
-def summarize_with_tb(path_hint: str = TRACE_DIR) -> None:
-    pass
+    def module_of(provenance: str) -> str:
+        if "img_encoder" in provenance:
+            return "resnet_trunk"
+        if "enc/encoder" in provenance or "bert/encoder" in provenance:
+            return "bert_encoder"
+        if "mlm" in provenance or "chunk" in provenance:
+            return "mlm_head"
+        if "transpose(jvp" in provenance or "/adamw" in provenance:
+            return "optimizer_or_bwd"
+        if "flash" in provenance or "attention_kernel" in provenance:
+            return "attention"
+        return "other"
+
+    def leaf_provenance(node) -> str:
+        xla = node.get("xla") or {}
+        prov = xla.get("provenance") or ""
+        if prov:
+            return prov
+        for c in node.get("children", []):
+            p = leaf_provenance(c)
+            if p:
+                return p
+        return ""
+
+    def walk_dupes(node):
+        """Visit 'X and its duplicate(s)' aggregation nodes (they carry the
+        summed rawTime across occurrences)."""
+        for c in node.get("children", []):
+            name = c.get("name", "")
+            if name.endswith("duplicate(s)") or not c.get("children"):
+                t = c.get("metrics", {}).get("rawTime", 0)
+                if t:
+                    prov = leaf_provenance(c)
+                    cat = ((c.get("children") or [c])[0].get("xla") or {}
+                           ).get("category", "?")
+                    mod = module_of(prov)
+                    by_module[mod] += t
+                    by_category[cat] += t
+                    detail[(mod, cat)] += t
+            else:
+                walk_dupes(c)
+
+    program = tree.get("byProgram", tree)
+    walk_dupes(program)
+    total = sum(by_module.values())
+    print(f"\n== device time by module (total {total/1e9:.1f} ms for the "
+          f"traced window) ==")
+    for mod, t in by_module.most_common():
+        print(f"  {mod:20s} {t/1e9:9.1f} ms  {100*t/total:5.1f}%")
+    print("== by category ==")
+    for cat, t in by_category.most_common(12):
+        print(f"  {cat:28s} {t/1e9:9.1f} ms  {100*t/total:5.1f}%")
+    print("== top (module, category) ==")
+    for (mod, cat), t in detail.most_common(16):
+        print(f"  {mod:18s} {cat:26s} {t/1e9:9.1f} ms")
 
 
 if __name__ == "__main__":
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 72
-    mode = sys.argv[2] if len(sys.argv) > 2 else "remat"
-    run_step_under_trace(batch, mode)
-    parse_xplane()
+    if len(sys.argv) > 1 and sys.argv[1] == "parse":
+        parse_xplane()
+    else:
+        batch = int(sys.argv[1]) if len(sys.argv) > 1 else 72
+        mode = sys.argv[2] if len(sys.argv) > 2 else "remat"
+        run_step_under_trace(batch, mode)
+        parse_xplane()

@@ -174,10 +174,11 @@ def main() -> None:
 
     import dataclasses
 
-    # default: the measured-fastest single-chip config (batch 72 + encoder
-    # remat, 122.5 pairs/s vs 115.0 at the reference batch-36 point);
+    # default: the measured-fastest single-chip config.  With the frozen
+    # CNN prefix + flat-layout attention kernel, batch 48 WITHOUT remat fits
+    # and wins (205.8 pairs/s vs 177.7 at 72+ffn-remat, 142-152 at 96-120);
     # `python bench.py 36 10 noremat` reproduces the reference config point
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 72
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     mode = sys.argv[3] if len(sys.argv) > 3 else (
         "remat" if batch > 48 else "noremat")

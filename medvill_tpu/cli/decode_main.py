@@ -83,6 +83,9 @@ def build_parser():
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--bert_model", type=str, default="bert-base-scratch")
     p.add_argument("--vocab_size", type=int, default=30522)
+    p.add_argument("--relax_projection", action="store_true",
+                   help="decode a checkpoint finetuned with 4 task-specific "
+                        "MLM-head projections (reference: finetune.py:307)")
     p.add_argument("--teacher_forcing", type=str2bool, default=False,
                    help="True reproduces the reference greedy loop's "
                         "gt-token feeding (model.py:1177-1189)")
@@ -189,6 +192,9 @@ def run_one(args, logger, metrics_log, best: _Best,
     bert = BertConfig.vlp(
         BertConfig.from_name(args.bert_model, args.vocab_size),
         new_segment_ids=args.new_segment_ids)
+    if getattr(args, "relax_projection", False):
+        import dataclasses
+        bert = dataclasses.replace(bert, relax_projection=4)
     cfg = FinetuneConfig(
         max_seq_length=args.max_seq_length,
         len_vis_input=args.len_vis_input, img_size=args.img_size,

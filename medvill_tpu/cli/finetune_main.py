@@ -84,13 +84,22 @@ def build_parser():
     p.add_argument("--resnet_init_path", type=str, default=None,
                    help="torchvision resnet50 .pth for the visual trunk "
                         "(reference: vlp resnet pretrained init)")
+    p.add_argument("--relax_projection", action="store_true",
+                   help="4 task-specific MLM-head projections selected by "
+                        "task_idx (reference: finetune.py:182,307-319)")
     return p
 
 
 def config_from_args(args) -> FinetuneConfig:
+    import dataclasses
+
     bert = BertConfig.vlp(
         BertConfig.from_name(args.bert_model, args.vocab_size),
         new_segment_ids=args.new_segment_ids)
+    if getattr(args, "relax_projection", False):
+        # reference: relax_projection = 4 if args.relax_projection else 0
+        # (finetune.py:307)
+        bert = dataclasses.replace(bert, relax_projection=4)
     return FinetuneConfig(
         task=args.tasks, src_file=args.src_file,
         output_dir=args.output_dir,

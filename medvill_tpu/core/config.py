@@ -66,6 +66,17 @@ class BertConfig:
     # rematerialize encoder layers in backward (memory for FLOPs; enables
     # larger batches than the 16 GB HBM otherwise allows)
     remat: bool = False
+    # relax_projection>1: the MLM-head transform emits that many stacked
+    # task-specific projections, selected per sample by task_idx (reference:
+    # sc/pytorch_pretrained_bert/model.py:435-496; finetune.py:307-319 sets 4
+    # under --relax_projection, task_idx 3=s2s / 0=bi)
+    relax_projection: int = 0
+    # remat granularity: "layer" recomputes the whole BertLayer (max memory
+    # savings); "ffn" checkpoints only the FFN block — the [B, L, 4H]
+    # intermediates that dominate activation memory are still freed, but
+    # attention and the QKV/output gemms are NOT recomputed (~25% less
+    # backward work at the reference config).  Ignored when remat=False.
+    remat_mode: str = "ffn"
 
     @property
     def head_dim(self) -> int:

@@ -183,14 +183,7 @@ class BertLayer(nn.Module):
         self.output_LayerNorm = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                                              name="output_LayerNorm")
 
-    def __call__(self, hidden, bias, deterministic=True, attention_fn=None,
-                 kv_cache=None, cache_index=None):
-        ctx, new_cache = self.self_attention(
-            hidden, bias, deterministic=deterministic,
-            attention_fn=attention_fn, kv_cache=kv_cache,
-            cache_index=cache_index)
-        attn_out = self.attention_output(ctx, hidden,
-                                         deterministic=deterministic)
+    def ffn(self, attn_out, deterministic=True):
         inter = self.intermediate(attn_out)
         # exact erf-GELU (reference: cxrbert_origin.py:176-181 /
         # sc/pytorch_pretrained_bert/model.py gelu)
@@ -198,7 +191,26 @@ class BertLayer(nn.Module):
                             approximate=False).astype(_dtype(self.config))
         out = self.output_dense(inter)
         out = self.output_dropout(out, deterministic=deterministic)
-        out = self.output_LayerNorm(out + attn_out).astype(_dtype(self.config))
+        return self.output_LayerNorm(out + attn_out).astype(
+            _dtype(self.config))
+
+    def __call__(self, hidden, bias, deterministic=True, attention_fn=None,
+                 kv_cache=None, cache_index=None, remat_ffn=False):
+        ctx, new_cache = self.self_attention(
+            hidden, bias, deterministic=deterministic,
+            attention_fn=attention_fn, kv_cache=kv_cache,
+            cache_index=cache_index)
+        attn_out = self.attention_output(ctx, hidden,
+                                         deterministic=deterministic)
+        if remat_ffn:
+            # checkpoint only the FFN: its [B, L, 4H] intermediates dominate
+            # activation memory, while attention + QKV/output gemms stay
+            # stored (not recomputed in the backward)
+            out = nn.remat(
+                lambda mdl, x: mdl.ffn(x, deterministic=deterministic)
+            )(self, attn_out)
+        else:
+            out = self.ffn(attn_out, deterministic=deterministic)
         return out, new_cache
 
 
@@ -223,9 +235,10 @@ class BertEncoder(nn.Module):
                  kv_caches=None, cache_index=None):
         new_caches = [] if kv_caches is not None else None
         use_remat = self.remat and kv_caches is None and not deterministic
+        mode = getattr(self.config, "remat_mode", "layer")
         for i, layer in enumerate(self.layers):
             cache = kv_caches[i] if kv_caches is not None else None
-            if use_remat:
+            if use_remat and mode == "layer":
                 def run(mdl, h, b):
                     return mdl(h, b, deterministic=deterministic,
                                attention_fn=attention_fn)[0]
@@ -236,7 +249,8 @@ class BertEncoder(nn.Module):
                 hidden, new_cache = layer(
                     hidden, bias, deterministic=deterministic,
                     attention_fn=attention_fn, kv_cache=cache,
-                    cache_index=cache_index)
+                    cache_index=cache_index,
+                    remat_ffn=use_remat and mode == "ffn")
             if new_caches is not None:
                 new_caches.append(new_cache)
         return hidden, new_caches

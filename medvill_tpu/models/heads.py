@@ -24,14 +24,27 @@ class MLMHead(nn.Module):
     config: BertConfig
 
     @nn.compact
-    def __call__(self, hidden: jnp.ndarray,
-                 word_embedding: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, hidden: jnp.ndarray, word_embedding: jnp.ndarray,
+                 task_idx: jnp.ndarray = None) -> jnp.ndarray:
         cfg = self.config
-        x = nn.Dense(cfg.hidden_size,
+        relax = getattr(cfg, "relax_projection", 0)
+        width = cfg.hidden_size * relax if relax > 1 else cfg.hidden_size
+        x = nn.Dense(width,
                      kernel_init=nn.initializers.normal(cfg.initializer_range),
                      dtype=hidden.dtype, name="transform_dense")(hidden)
         x = jax.nn.gelu(x.astype(jnp.float32), approximate=False)
         x = nn.LayerNorm(epsilon=1e-5, name="transform_LayerNorm")(x)
+        if relax > 1:
+            # task-specific projection select (reference: model.py:441-443,
+            # 480-484): transform emits relax_projection stacked projections;
+            # pick the per-sample slice indexed by task_idx (s2s=3, bi=0;
+            # sc/data_loader.py:317-319)
+            B, L = x.shape[:2]
+            x = x.reshape(B, L, relax, cfg.hidden_size)
+            if task_idx is None:
+                task_idx = jnp.zeros((B,), jnp.int32)
+            idx = task_idx.astype(jnp.int32)[:, None, None, None]
+            x = jnp.take_along_axis(x, idx, axis=2)[:, :, 0]
         # tied decoder: logits = x @ E^T + b (reference:
         # cxrbert_origin.py:221-238)
         logits = jnp.einsum("blh,vh->blv", x,

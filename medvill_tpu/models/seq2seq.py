@@ -195,7 +195,8 @@ class VLPForPreTraining(nn.Module):
                  masked_pos: Optional[jnp.ndarray] = None,
                  pixel_indices=None, deterministic: bool = True,
                  train_cnn: bool = False, attention_fn=None,
-                 vqa_inference: bool = False):
+                 vqa_inference: bool = False,
+                 task_idx: Optional[jnp.ndarray] = None):
         sequence, pooled = self.bert(
             image, input_ids, token_type_ids, bias,
             pixel_indices=pixel_indices, deterministic=deterministic,
@@ -211,7 +212,7 @@ class VLPForPreTraining(nn.Module):
         gathered = jnp.take_along_axis(
             sequence, masked_pos[..., None].astype(jnp.int32), axis=1)
         word_emb = self.bert.embeddings.word_embeddings.embedding
-        return self.cls(gathered, word_emb)
+        return self.cls(gathered, word_emb, task_idx=task_idx)
 
     # decode-time entry points (used by medvill_tpu/models/decoder.py)
     def decode_prefill(self, image, input_ids_seg, token_type_ids_seg,
@@ -221,10 +222,15 @@ class VLPForPreTraining(nn.Module):
                                  pixel_indices=pixel_indices)
 
     def decode_step(self, token_ids, position_ids, token_type_ids,
-                    kv_caches, cache_index, bias):
+                    kv_caches, cache_index, bias, task_idx=None):
         hidden, new_caches = self.bert.decode_window(
             token_ids, position_ids, token_type_ids, kv_caches, cache_index,
             bias)
         word_emb = self.bert.embeddings.word_embeddings.embedding
-        logits = self.cls(hidden[:, -1:, :], word_emb)
+        # decode is always the s2s pipeline: task_idx=3 under
+        # relax_projection (sc/data_loader.py:464)
+        if task_idx is None and getattr(self.config, "relax_projection",
+                                        0) > 1:
+            task_idx = jnp.full((token_ids.shape[0],), 3, jnp.int32)
+        logits = self.cls(hidden[:, -1:, :], word_emb, task_idx=task_idx)
         return logits[:, 0, :], new_caches

@@ -90,6 +90,7 @@ def make_train_step(model: VLPForPreTraining, tx, cfg: FinetuneConfig,
                     batch["segment_ids"], bias,
                     masked_pos=batch["masked_pos"], deterministic=False,
                     train_cnn=True, attention_fn=local_attention_fn,
+                    task_idx=batch.get("task_idx"),
                     rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
                 if cfg.label_smoothing > 0:
                     per_pos = label_smoothing_loss(

@@ -223,6 +223,10 @@ class PretrainConfig:
     # MLM loss position-chunk size; full [B,L,V] logits OOM HBM at the
     # reference batch-36 config, so the loss streams over text chunks
     mlm_loss_chunk: int = 128
+    # gather only the labeled text positions before the vocab projection
+    # (p=0.15 per-token masking -> ~38 of 253; 96 is +10 sigma).  0 falls
+    # back to the chunked full-position path.
+    mlm_gather_bound: int = 96
 
     def resolve_variant(self) -> "MaskVariant | None":
         """Map flags to a static variant; MIXED (per-sample) returns None."""

@@ -57,8 +57,10 @@ class BertEmbeddings(nn.Module):
                                               cfg.hidden_size,
                                               embedding_init=init,
                                               name="token_type_embeddings")
+        # bf16 in/out with f32 statistics (flax _compute_stats forces
+        # float32 reductions) — keeps LN off the HBM-bandwidth critical path
         self.LayerNorm = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
-                                      name="LayerNorm")
+                                      dtype=_dtype(cfg), name="LayerNorm")
         self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
 
     def __call__(self, input_ids: jnp.ndarray,
@@ -162,8 +164,8 @@ class BertSelfOutput(nn.Module):
                      kernel_init=nn.initializers.normal(cfg.initializer_range),
                      dtype=_dtype(cfg), name="dense")(ctx)
         x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="LayerNorm")(
-            x + residual)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=_dtype(cfg),
+                         name="LayerNorm")(x + residual)
         return x.astype(_dtype(cfg))
 
 
@@ -181,6 +183,7 @@ class BertLayer(nn.Module):
                                      dtype=_dtype(cfg), name="output_dense")
         self.output_dropout = nn.Dropout(cfg.hidden_dropout_prob)
         self.output_LayerNorm = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                                             dtype=_dtype(cfg),
                                              name="output_LayerNorm")
 
     def ffn(self, attn_out, deterministic=True):

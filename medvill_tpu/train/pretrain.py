@@ -126,6 +126,38 @@ def _chunked_mlm_loss(model: CXRBERT, params, txt_hidden, txt_labels,
     return nll / jnp.maximum(n, 1), correct, n
 
 
+def _gathered_mlm_loss(model: CXRBERT, params, txt_hidden, txt_labels,
+                       bound: int):
+    """Exact CE(ignore=-100, mean over valid) over only the labeled
+    positions.
+
+    The reference computes full [B, L, V] logits and lets ignore_index drop
+    the ~85% unlabeled positions (train_origin.py:62,108-126).  Math is
+    identical if we first gather the labeled positions: per-token masking at
+    p=0.15 over <=253 tokens gives ~38 labels (Binomial std 5.7), so a
+    static bound of 96 is +10 sigma — overflow probability ~1e-17 per
+    sample; any overflowing labels beyond the bound would be dropped.
+    This replaces the position-chunked scan (the [B, chunk, V] f32 logits
+    passes cost ~17 ms/step at the reference config) with one small
+    [B, bound, V] projection."""
+    valid = txt_labels != -100
+    # stable order: labeled positions first, original order preserved
+    order = jnp.argsort(jnp.where(valid, 0, 1), axis=1, stable=True)
+    idx = order[:, :bound]
+    g_h = jnp.take_along_axis(txt_hidden, idx[..., None], axis=1)
+    g_l = jnp.take_along_axis(txt_labels, idx, axis=1)
+    logits = model.apply({"params": params}, g_h,
+                         method=CXRBERT.mlm_chunk).astype(jnp.float32)
+    valid_g = g_l != -100
+    safe = jnp.where(valid_g, g_l, 0)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid_g, logz - gold, 0.0).sum()
+    correct = ((jnp.argmax(logits, -1) == g_l) & valid_g).sum()
+    n = valid_g.sum()
+    return nll / jnp.maximum(n, 1), correct, n
+
+
 def pretrain_loss_and_metrics(model: CXRBERT, params, batch_stats, batch,
                               dropout_rng, pixel_indices, cfg: PretrainConfig,
                               train: bool, attention_fn=None):
@@ -166,9 +198,14 @@ def pretrain_loss_and_metrics(model: CXRBERT, params, batch_stats, batch,
         I2 = cfg.image.num_image_embeds + 2
         txt_hidden = sequence[:, I2:]
         txt_labels = batch["txt_labels"][:, I2:]
-        mlm_loss, correct, n_valid = _chunked_mlm_loss(
-            model, params, txt_hidden, txt_labels,
-            chunk=cfg.mlm_loss_chunk)
+        bound = getattr(cfg, "mlm_gather_bound", 0)
+        if bound and bound < txt_hidden.shape[1]:
+            mlm_loss, correct, n_valid = _gathered_mlm_loss(
+                model, params, txt_hidden, txt_labels, bound)
+        else:
+            mlm_loss, correct, n_valid = _chunked_mlm_loss(
+                model, params, txt_hidden, txt_labels,
+                chunk=cfg.mlm_loss_chunk)
         total = total + mlm_loss
         metrics["mlm_loss"] = mlm_loss
         metrics["mlm_correct"] = correct

@@ -182,14 +182,17 @@ def main() -> None:
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     mode = sys.argv[3] if len(sys.argv) > 3 else (
         "remat" if batch > 48 else "noremat")
-    remat = mode in ("remat", "rematall")
-    remat_blocks = mode == "rematall"
+    tokens = mode.split(",")
+    remat = tokens[0] in ("remat", "rematall")
+    remat_blocks = tokens[0] == "rematall"
 
     cfg = PretrainConfig(
         batch_size=batch,
-        bert=dataclasses.replace(BertConfig.base(), remat=remat),
+        bert=dataclasses.replace(BertConfig.base(), remat=remat,
+                                 fused_qkv="nofuse" not in tokens),
         image=ImageEncoderConfig(img_size=512, num_image_embeds=180,
-                                 remat_blocks=remat_blocks),
+                                 remat_blocks=remat_blocks,
+                                 s2d_stem="nos2d" not in tokens),
         # chunk buffer is [B, chunk, vocab] f32 — scale down at large batch
         mlm_loss_chunk=128 if batch <= 96 else 64,
     )

@@ -66,6 +66,11 @@ class BertConfig:
     # rematerialize encoder layers in backward (memory for FLOPs; enables
     # larger batches than the 16 GB HBM otherwise allows)
     remat: bool = False
+    # fuse the Q/K/V projections into one [H, 3H] gemm at apply time
+    # (param tree unchanged).  Measured SLOWER on v5e at the reference
+    # config (-10 pairs/s: the per-step param concat defeats XLA's
+    # weight-layout assignment), so off by default.
+    fused_qkv: bool = False
     # relax_projection>1: the MLM-head transform emits that many stacked
     # task-specific projections, selected per sample by task_idx (reference:
     # sc/pytorch_pretrained_bert/model.py:435-496; finetune.py:307-319 sets 4
@@ -154,6 +159,8 @@ class ImageEncoderConfig:
     # checkpoint bottleneck blocks (recompute in backward) — frees the
     # early-stage activations that cap batch size at 512 px
     remat_blocks: bool = False
+    # exact space-to-depth realization of the 7x7/s2 stem conv
+    s2d_stem: bool = True
 
     @property
     def num_fibers(self) -> int:

@@ -114,10 +114,26 @@ class BertSelfAttention(nn.Module):
         cfg = self.config
         B, L, _ = hidden.shape
         shape = (B, L, cfg.num_attention_heads, cfg.head_dim)
-        q = self.query(hidden).reshape(shape)
-        k = self.key(hidden).reshape(shape)
-        v = self.value(hidden).reshape(shape)
-        return q, k, v
+        if self.is_initializing() or not getattr(cfg, "fused_qkv", True):
+            q = self.query(hidden).reshape(shape)
+            k = self.key(hidden).reshape(shape)
+            v = self.value(hidden).reshape(shape)
+            return q, k, v
+        # fused QKV: one [768, 3*768] gemm instead of three — one read of
+        # the activation, better MXU occupancy; the parameter tree keeps
+        # the torch-compatible query/key/value split (checkpoint parity)
+        ws, bs = [], []
+        for m in (self.query, self.key, self.value):
+            p = m.variables["params"]
+            ws.append(p["kernel"])
+            bs.append(p["bias"])
+        w = jnp.concatenate(ws, axis=1).astype(_dtype(cfg))
+        b = jnp.concatenate(bs).astype(_dtype(cfg))
+        qkv = hidden @ w + b
+        H = cfg.hidden_size
+        return (qkv[..., :H].reshape(shape),
+                qkv[..., H:2 * H].reshape(shape),
+                qkv[..., 2 * H:].reshape(shape))
 
     def __call__(self, hidden: jnp.ndarray, bias: Optional[jnp.ndarray],
                  deterministic: bool = True,

@@ -74,7 +74,9 @@ class JointEncoder(nn.Module):
         else:
             self.img_encoder = ResNet50Trunk(
                 dtype=jnp.dtype(cfg.compute_dtype),
-                remat=self.image.remat_blocks, name="img_encoder")
+                remat=self.image.remat_blocks,
+                s2d_stem=getattr(self.image, "s2d_stem", True),
+                name="img_encoder")
         self.encoder = BertEncoder(cfg, remat=cfg.remat,
                            name="encoder")
         self.pooler = BertPooler(cfg, name="pooler")

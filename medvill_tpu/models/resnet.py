@@ -17,7 +17,50 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class StemConv(nn.Module):
+    """7x7/stride-2 stem conv with an exact space-to-depth realization.
+
+    Owns the same param tree as ``nn.Conv(name="conv1")`` — ``kernel`` of
+    shape [7, 7, C, F] — so torchvision weight import is unchanged.  On even
+    inputs the conv is computed as a 4x4/stride-1 conv over the 2x2
+    space-to-depth packing: identical math (the 7x7 kernel zero-padded to
+    8x8 and regrouped), but the MXU sees 4*C=12 input channels instead of 3
+    and half the spatial extent — the [512,512,3] layout is the worst case
+    for the 8x128 vector tiles.  (The standard MLPerf ResNet trick.)
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+    use_s2d: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, C, self.features), jnp.float32)
+        w = w.astype(self.dtype)
+        x = x.astype(self.dtype)
+        B, H, W_, _ = x.shape
+        if not self.use_s2d or H % 2 or W_ % 2:
+            return jax.lax.conv_general_dilated(
+                x, w, window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        Hp, Wp = H + 6, W_ + 6  # even (same (3,3) padding as the 7x7 conv)
+        xs = xp.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(
+            B, Hp // 2, Wp // 2, 4 * C)
+        wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        ws = wp.reshape(4, 2, 4, 2, C, self.features)
+        ws = ws.transpose(0, 2, 1, 3, 4, 5).reshape(
+            4, 4, 4 * C, self.features)
+        return jax.lax.conv_general_dilated(
+            xs, ws, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class Bottleneck(nn.Module):
@@ -70,13 +113,13 @@ class ResNet50Trunk(nn.Module):
     width: int = 64
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    s2d_stem: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        x = nn.Conv(self.width, (7, 7), strides=(2, 2),
-                    padding=[(3, 3), (3, 3)], use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        x = StemConv(self.width, dtype=self.dtype, use_s2d=self.s2d_stem,
+                     name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="bn1")(x)

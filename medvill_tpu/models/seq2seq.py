@@ -59,9 +59,11 @@ class VLPEncoder(nn.Module):
             cfg.hidden_size,
             kernel_init=nn.initializers.normal(cfg.initializer_range),
             dtype=jnp.dtype(cfg.compute_dtype), name="img_projection")
-        self.img_encoder = ResNet50Trunk(dtype=jnp.dtype(cfg.compute_dtype),
-                                         remat=self.image.remat_blocks,
-                                         name="img_encoder")
+        self.img_encoder = ResNet50Trunk(
+            dtype=jnp.dtype(cfg.compute_dtype),
+            remat=self.image.remat_blocks,
+            s2d_stem=getattr(self.image, "s2d_stem", True),
+            name="img_encoder")
         self.encoder = BertEncoder(cfg, remat=cfg.remat,
                            name="encoder")
         self.pooler = BertPooler(cfg, name="pooler")

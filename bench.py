@@ -12,6 +12,12 @@ A100-equivalent estimate: PyTorch-AMP MedViLL-scale pipelines (ResNet-50@512
 + BERT-base MLM+ITM, batch 36) sustain roughly 70 pairs/sec on one A100;
 the BASELINE.json north star asks for >=5x that per v5e chip.
 vs_baseline = measured / 70.0.
+
+A *measured* same-host datum also exists (REFBENCH.json, produced by
+bench_ref_cpu.py): the reference's own model imported from /root/reference
+runs 0.0797 pairs/s on this host's CPU; this framework's TPU step is ~2800x
+that.  The A100 estimate stays as the denominator because it is the
+reference's actual deployment class.
 """
 from __future__ import annotations
 

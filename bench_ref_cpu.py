@@ -56,6 +56,11 @@ def _install_shims():
     # zero-egress config (defaults == bert-base-uncased)
     mbert.BertConfig.from_pretrained = classmethod(
         lambda cls, *a, **k: cls())
+    # transformers 4.x dropped AdamW from .optimization (train_origin.py:15
+    # imports it at module scope); alias torch's
+    import transformers.optimization as topt
+    if not hasattr(topt, "AdamW"):
+        topt.AdamW = torch.optim.AdamW
     # .cuda() hardcoded in reference forward
     torch.Tensor.cuda = lambda self, *a, **k: self
 
@@ -121,6 +126,26 @@ def _install_shims():
     tv.models = tv_models
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = tv_models
+
+    # absent-from-image deps pulled in by models/__init__.py side imports
+    # (wandb logging, tqdm bars, fuzzywuzzy sampling) — stubbed; the
+    # benchmark touches none of their functionality
+    for name in ("wandb", "tqdm", "fuzzywuzzy"):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                stub = types.ModuleType(name)
+                stub.__getattr__ = lambda attr, _n=name: (
+                    (lambda *a, **k: None))
+                if name == "tqdm":
+                    stub.tqdm = lambda it, **k: it
+                if name == "fuzzywuzzy":
+                    fuzz = types.ModuleType("fuzzywuzzy.fuzz")
+                    fuzz.token_sort_ratio = lambda a, b: 0
+                    stub.fuzz = fuzz
+                    sys.modules["fuzzywuzzy.fuzz"] = fuzz
+                sys.modules[name] = stub
 
 
 def bench_reference() -> float:
@@ -188,6 +213,15 @@ def bench_ours_cpu() -> float:
     import dataclasses
 
     import jax
+
+    # the TPU image's site hook force-selects the axon platform via
+    # jax.config — the env var alone is not enough
+    jax.config.update("jax_platforms", "cpu")
+    from jax._src import xla_bridge as _xb
+    if _xb.backends_are_initialized():
+        from jax.extend.backend import clear_backends
+        clear_backends()
+    assert jax.default_backend() == "cpu", jax.default_backend()
     import jax.numpy as jnp
     import numpy as np
 
@@ -199,7 +233,11 @@ def bench_ours_cpu() -> float:
 
     cfg = PretrainConfig(
         batch_size=BATCH,
-        bert=dataclasses.replace(BertConfig.base(), remat=False),
+        # f32 compute: bf16 is the TPU-native policy but is EMULATED in
+        # software on x86 — the torch side runs f32 through oneDNN/AVX512,
+        # so f32-vs-f32 is the honest same-host comparison
+        bert=dataclasses.replace(BertConfig.base(), remat=False,
+                                 compute_dtype="float32"),
         image=ImageEncoderConfig(img_size=IMG,
                                  num_image_embeds=NUM_IMG_EMBEDS),
         mlm_loss_chunk=128,

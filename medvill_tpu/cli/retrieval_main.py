@@ -19,7 +19,7 @@ from medvill_tpu.data.tokenization import BertTokenizer
 from medvill_tpu.train import optim, retrieve
 from medvill_tpu.train.pretrain import TrainState
 from medvill_tpu.utils.logging import MetricLogger, create_logger
-from medvill_tpu.utils.seed import set_seed
+from medvill_tpu.utils.seed import set_seed, use_hardware_prng
 
 
 def make_tokenizer(vocab_file: str, remap_unused: bool = False):
@@ -66,6 +66,7 @@ def build_parser():
 
 def main(args) -> None:
     set_seed(args.seed)
+    use_hardware_prng()  # TPU rbg dropout keys: ~5% of step time
     os.makedirs(args.output_path, exist_ok=True)
     logger = create_logger(os.path.join(args.output_path, "train.log"), args)
     metrics_log = MetricLogger(args.output_path, project="retrieval",

@@ -18,6 +18,21 @@ def set_seed(seed: int) -> None:
     np.random.seed(seed)
 
 
+def use_hardware_prng() -> None:
+    """Switch jax.random's default key implementation to ``rbg``.
+
+    The default threefry2x32 is computed in software on the VPU — at the
+    pretrain config the per-layer dropout masks alone cost ~5% of step time
+    (measured 220.6 vs 210.8 pairs/s).  ``rbg`` uses the TPU's hardware RNG
+    path; dropout streams change (they are arbitrary anyway) but shapes and
+    semantics do not.  Called by the training CLIs and bench before any key
+    is created; tests keep the default for reproducibility of recorded
+    expectations."""
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+
 @contextlib.contextmanager
 def numpy_seed(seed, *addl_seeds):
     """Scoped numpy seed; state restored on exit (reference:

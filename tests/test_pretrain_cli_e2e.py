@@ -1,0 +1,72 @@
+"""End-to-end smoke of the pretrain CLI at BERT-tiny scale (SURVEY.md §4:
+"e2e smoke configs exercising each of the 5 entry points on synthetic JSONL
++ random images").  Runs ``pretrain_main.train(args)`` in-process for one
+epoch over synthetic data and checks the artifact set: orbax checkpoint,
+metrics JSONL with the reference metric keys, train.log."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _write_dataset(tmp_path, n=8, img_size=64):
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    rows = []
+    words = ["normal", "opacity", "effusion", "cardiomegaly", "lungs",
+             "clear", "no", "acute", "finding", "with"]
+    for i in range(n):
+        p = img_dir / f"{i}.png"
+        Image.fromarray(rng.integers(0, 255, (img_size, img_size),
+                                     dtype=np.uint8), mode="L").save(p)
+        rows.append({"id": f"s{i}", "split": "train",
+                     "label": "'Normal'" if i % 2 else "'Opacity'",
+                     "text": " ".join(rng.choice(words, 6).tolist()),
+                     "img": str(p)})
+    train = tmp_path / "train.jsonl"
+    with open(train, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    vocab = tmp_path / "vocab.txt"
+    specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    with open(vocab, "w") as f:
+        for w in specials + words:
+            f.write(w + "\n")
+    return str(train), str(vocab)
+
+
+def test_pretrain_cli_one_epoch(tmp_path):
+    from medvill_tpu.cli import pretrain_main
+
+    train, vocab = _write_dataset(tmp_path)
+    out = tmp_path / "out"
+    args = pretrain_main.build_parser().parse_args([
+        "--train_dataset", train, "--vocab_file", vocab,
+        "--output_path", str(out), "--bert_model", "test-tiny",
+        "--vocab_size", "32", "--epochs", "1", "--batch_size", "8",
+        "--num_image_embeds", "3", "--img_size", "64", "--seq_len", "7",
+        "--gradient_accumulation_steps", "1", "--num_workers", "0",
+    ])
+    pretrain_main.train(args)
+
+    # artifact set: checkpoint for epoch 0, metrics jsonl, train log
+    from medvill_tpu.core import checkpoint as ckpt_lib
+
+    assert ckpt_lib.latest_epoch(str(out)) == 0
+    metrics_path = os.path.join(str(out), "metrics.jsonl")
+    assert os.path.exists(metrics_path)
+    rows = [json.loads(l) for l in open(metrics_path)]
+    assert rows, "no metrics logged"
+    keys = set().union(*[set(r) for r in rows])
+    # reference metric names (train_origin.py:150-169 wandb keys)
+    assert any("loss" in k for k in keys), keys
+    finite = [v for r in rows for k, v in r.items()
+              if isinstance(v, (int, float)) and "loss" in k]
+    assert finite and all(np.isfinite(finite)), rows
+    assert os.path.exists(os.path.join(str(out), "train.log"))

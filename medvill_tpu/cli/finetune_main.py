@@ -221,7 +221,7 @@ def main(args) -> None:
             batch = {k: v for k, v in batch.items()
                      if k in ("image", "input_ids", "segment_ids",
                               "mask_spec", "masked_ids", "masked_pos",
-                              "masked_weights", "ans_target")}
+                              "masked_weights", "ans_target", "task_idx")}
             state, m = train_step(state, shard_batch(mesh, batch),
                                   jax.random.PRNGKey(cfg.seed))
             for k, v in m.items():

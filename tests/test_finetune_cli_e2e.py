@@ -1,0 +1,62 @@
+"""End-to-end smoke of the report-generation finetune CLI at tiny scale
+(SURVEY.md §4 entry-point smoke), including the --relax_projection path —
+which exercises task_idx flowing loader -> batch filter -> MLM head."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _write_dataset(tmp_path, n=8, img_size=64):
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    words = ["heart", "size", "normal", "lungs", "clear", "effusion",
+             "right", "left", "small", "seen"]
+    rows = []
+    for i in range(n):
+        p = img_dir / f"{i}.png"
+        Image.fromarray(rng.integers(0, 255, (img_size, img_size),
+                                     dtype=np.uint8), mode="L").save(p)
+        rows.append({"id": f"r{i}", "text": " ".join(
+            rng.choice(words, 7).tolist()), "img": str(p)})
+    train = tmp_path / "train.jsonl"
+    with open(train, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    vocab = tmp_path / "vocab.txt"
+    specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    with open(vocab, "w") as f:
+        for w in specials + words:
+            f.write(w + "\n")
+    return str(train), str(vocab)
+
+
+def test_finetune_cli_one_epoch_with_relax(tmp_path):
+    from medvill_tpu.cli import finetune_main
+    from medvill_tpu.core import checkpoint as ckpt_lib
+
+    train, vocab = _write_dataset(tmp_path)
+    out = tmp_path / "out_ft"
+    args = finetune_main.build_parser().parse_args([
+        "--tasks", "report_generation", "--src_file", train,
+        "--vocab_file", vocab, "--output_dir", str(out),
+        "--bert_model", "test-tiny", "--vocab_size", "32",
+        "--train_batch_size", "8", "--num_train_epochs", "1",
+        "--len_vis_input", "3", "--img_size", "64",
+        "--max_seq_length", "16", "--max_pred", "4", "--max_len_b", "8",
+        "--relax_projection",
+    ])
+    finetune_main.main(args)
+
+    assert ckpt_lib.latest_epoch(str(out)) == 0
+    assert os.path.exists(os.path.join(str(out), "opt.json"))
+    rows = [json.loads(l)
+            for l in open(os.path.join(str(out), "metrics.jsonl"))]
+    losses = [r["loss"] for r in rows if "loss" in r]
+    assert losses and all(np.isfinite(losses)), rows

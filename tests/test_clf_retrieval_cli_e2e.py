@@ -1,0 +1,103 @@
+"""End-to-end smokes for the classification and retrieval CLIs at tiny
+scale (SURVEY.md §4 entry-point smoke; completes the 5-entry-point matrix
+with the pretrain/finetune/decode smokes)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+WORDS = ["no", "acute", "disease", "heart", "lungs", "clear", "mild",
+         "edema", "stable", "chest"]
+SPECIALS = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+
+
+def _images(tmp_path, n, img_size=64, rgb=True):
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir(exist_ok=True)
+    rng = np.random.default_rng(2)
+    paths = []
+    for i in range(n):
+        p = img_dir / f"{i}.png"
+        if rgb:
+            Image.fromarray(rng.integers(0, 255, (img_size, img_size, 3),
+                                         dtype=np.uint8), "RGB").save(p)
+        else:
+            Image.fromarray(rng.integers(0, 255, (img_size, img_size),
+                                         dtype=np.uint8), "L").save(p)
+        paths.append(str(p))
+    return paths
+
+
+def _vocab(tmp_path):
+    vocab = tmp_path / "vocab.txt"
+    with open(vocab, "w") as f:
+        for w in SPECIALS + WORDS:
+            f.write(w + "\n")
+    return str(vocab)
+
+
+def test_classification_cli_one_epoch(tmp_path):
+    from medvill_tpu.cli import classification_main
+
+    rng = np.random.default_rng(3)
+    paths = _images(tmp_path, 8)
+    labels = ["Cardiomegaly", "Edema", "Others"]
+    for split in ("Train.jsonl", "Valid.jsonl"):
+        with open(tmp_path / split, "w") as f:
+            for i, p in enumerate(paths):
+                f.write(json.dumps({
+                    "id": f"{split}-{i}",
+                    "text": " ".join(rng.choice(WORDS, 6).tolist()),
+                    "label": labels[i % 2] + ("," + labels[1] if i % 3 == 0
+                                              else ""),
+                    "img": p}) + "\n")
+    out = tmp_path / "out_clf"
+    args = classification_main.build_parser().parse_args([
+        "--data_path", str(tmp_path), "--vocab_file", _vocab(tmp_path),
+        "--savedir", str(out), "--bert_model", "test-tiny",
+        "--vocab_size", "32", "--batch_sz", "8", "--max_epochs", "1",
+        "--num_image_embeds", "4", "--img_size", "64",
+        "--max_seq_len", "20",
+    ])
+    classification_main.train(args)
+    run_dir = os.path.join(str(out), "clf")
+    rows = [json.loads(l)
+            for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert rows, "no metrics"
+    vals = [v for r in rows for k, v in r.items()
+            if isinstance(v, (int, float))]
+    assert vals and all(np.isfinite(vals)), rows
+
+
+def test_retrieval_cli_one_epoch(tmp_path):
+    from medvill_tpu.cli import retrieval_main
+
+    rng = np.random.default_rng(4)
+    paths = _images(tmp_path, 8)
+    train = tmp_path / "ret_train.jsonl"
+    with open(train, "w") as f:
+        for i, p in enumerate(paths):
+            f.write(json.dumps({
+                "id": f"t{i}", "split": "train",
+                "label": "'Normal'" if i % 2 else "'Edema'",
+                "text": " ".join(rng.choice(WORDS, 5).tolist()),
+                "img": p}) + "\n")
+    out = tmp_path / "out_ret"
+    args = retrieval_main.build_parser().parse_args([
+        "--train_dataset", str(train), "--vocab_file", _vocab(tmp_path),
+        "--output_path", str(out), "--bert_model", "test-tiny",
+        "--vocab_size", "32", "--batch_size", "4", "--epochs", "1",
+        "--seq_len", "7", "--num_image_embeds", "3", "--img_size", "64",
+        "--do_train", "true", "--do_test", "false",
+    ])
+    retrieval_main.main(args)
+    rows = [json.loads(l)
+            for l in open(os.path.join(str(out), "metrics.jsonl"))]
+    assert any("train_loss" in r for r in rows), rows
+    losses = [r["train_loss"] for r in rows if "train_loss" in r]
+    assert all(np.isfinite(losses)), rows

@@ -111,7 +111,7 @@ def bench_finetune(batch: int = 16, iters: int = 8) -> None:
         deterministic=True)
     tx = ft.make_finetune_tx(cfg)
     tx = optim.masked_trainable(
-        tx, lambda p: resnet_lib.cnn_prefix_freeze_mask(
+        tx, lambda p: resnet_lib.cnn_freeze_mask(
             p, ("bert", "img_encoder")))
     state = TrainState(step=jnp.zeros([], jnp.int32),
                        params=variables["params"],
@@ -155,61 +155,54 @@ def bench_finetune(batch: int = 16, iters: int = 8) -> None:
     }))
 
 
-def main() -> None:
-    import os
+def bench_pretrain(batch: int = 48, steps: int = 30, mode: str = "",
+                   quiet: bool = False) -> float:
+    """Pretrain train-step throughput (the headline metric).
 
-    os.makedirs("/tmp/jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    from medvill_tpu.utils.seed import use_hardware_prng
-    use_hardware_prng()  # rbg dropout keys: 220.6 vs 210.8 pairs/s paired
-
-    if len(sys.argv) > 1 and sys.argv[1] == "decode":
-        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-        iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-        bench_decode(batch, iters)
-        return
-    if len(sys.argv) > 1 and sys.argv[1] == "finetune":
-        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-        iters = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-        bench_finetune(batch, iters)
-        return
-
+    ``mode`` is a comma list of tokens:
+      remat | rematall | noremat   encoder / +conv-block remat
+      fuse                         fused QKV gemm (A/B; measured -5%)
+      nos2d                        disable the space-to-depth stem
+      k<N>                         N micro-steps per jit dispatch (default
+                                   10; k1 = one dispatch per step, the
+                                   pre-round-3 behavior)
+    """
     from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                          PretrainConfig)
     from medvill_tpu.train import optim
-    from medvill_tpu.train.pretrain import init_state, make_train_step
+    from medvill_tpu.train.pretrain import (init_state,
+                                            make_multi_train_step)
 
     import dataclasses
 
-    # default: the measured-fastest single-chip config.  With the frozen
-    # CNN prefix + flat-layout attention kernel, batch 48 WITHOUT remat fits
-    # and wins (205.8 pairs/s vs 177.7 at 72+ffn-remat, 142-152 at 96-120);
-    # `python bench.py 36 10 noremat` reproduces the reference config point
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    mode = sys.argv[3] if len(sys.argv) > 3 else (
-        "remat" if batch > 48 else "noremat")
-    tokens = mode.split(",")
-    remat = tokens[0] in ("remat", "rematall")
-    remat_blocks = tokens[0] == "rematall"
+    tokens = [t for t in mode.split(",") if t]
+    remat = tokens[0] in ("remat", "rematall") if tokens else False
+    remat_blocks = bool(tokens) and tokens[0] == "rematall"
+    k = 10
+    for t in tokens:
+        if t.startswith("k") and t[1:].isdigit():
+            k = int(t[1:])
+    k = max(1, min(k, steps))
 
     cfg = PretrainConfig(
         batch_size=batch,
+        # fused QKV measured -5% (DESIGN.md §4) — off unless "fuse" is
+        # passed for an A/B; matches the BertConfig.fused_qkv=False default
         bert=dataclasses.replace(BertConfig.base(), remat=remat,
-                                 fused_qkv="nofuse" not in tokens),
+                                 fused_qkv="fuse" in tokens),
         image=ImageEncoderConfig(img_size=512, num_image_embeds=180,
                                  remat_blocks=remat_blocks,
                                  s2d_stem="nos2d" not in tokens),
         # chunk buffer is [B, chunk, vocab] f32 — scale down at large batch
         mlm_loss_chunk=128 if batch <= 96 else 64,
     )
-    # reference semantics: CNN prefix (conv1/bn1/layer1) is frozen by the
-    # model constructor (cxrbert_origin.py:66-70) — train step stop-grads it
+    # reference semantics: the whole ResNet trunk is frozen by the model
+    # constructor (cxrbert_origin.py:65-70, no-op children()[5:] unfreeze) —
+    # the train step stop-grads it
     from medvill_tpu.models import resnet as resnet_lib
     tx = optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay)
     tx = optim.masked_trainable(
-        tx, lambda p: resnet_lib.cnn_prefix_freeze_mask(
+        tx, lambda p: resnet_lib.cnn_freeze_mask(
             p, ("enc", "img_encoder")))
     model, state = init_state(cfg, jax.random.PRNGKey(0), tx)
 
@@ -235,30 +228,107 @@ def main() -> None:
     dev_batch = jax.tree_util.tree_map(jnp.asarray, host_batch)
     key = jax.random.PRNGKey(1)
 
-    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
+    # k micro-steps per dispatch (synthetic data -> reuse one device batch);
+    # amortizes per-dispatch host+RPC overhead, measured ~25% of wall time
+    step = jax.jit(make_multi_train_step(model, tx, cfg, k,
+                                         reuse_batch=True),
+                   donate_argnums=(0,))
+    n_dispatch = max(1, steps // k)
     # warmup / compile; synchronize with a device->host read — on this
     # platform block_until_ready returns before execution retires, so a
     # float() read is the only reliable fence
     state, m = step(state, dev_batch, key)
-    _ = float(m["loss"])
+    _ = float(m["loss"][-1])
     t0 = time.perf_counter()
     last = None
-    for _ in range(steps):
-        # steps chain through the donated state, so one host read at the
-        # end fences the whole run (per-step float() reads serialized the
-        # pipeline and cost ~26 ms/step of device idle in the trace)
+    for _ in range(n_dispatch):
+        # dispatches chain through the donated state, so one host read at
+        # the end fences the whole run (per-step float() reads serialized
+        # the pipeline, ~26 ms/step of device idle in the trace)
         state, last = step(state, dev_batch, key)
-    final_loss = float(last["loss"])
+    final_loss = float(last["loss"][-1])
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss), final_loss
 
-    pairs_per_sec = batch * steps / dt
+    pairs_per_sec = batch * k * n_dispatch / dt
+    if not quiet:
+        print(json.dumps({
+            "metric": "pretrain_pairs_per_sec_per_chip",
+            "value": round(pairs_per_sec, 2),
+            "unit": "image-text pairs/sec/chip",
+            "vs_baseline": round(pairs_per_sec / A100_EQUIV_PAIRS_PER_SEC,
+                                 3),
+        }))
+    return pairs_per_sec
+
+
+def bench_ab(cfg_a: str, cfg_b: str, reps: int = 3) -> None:
+    """Paired A/B: alternate the two pretrain configs back-to-back on the
+    same process/box (the box drifts ±5-6% between sessions — DESIGN.md §4 —
+    so only paired same-session comparisons are trustworthy).  Config
+    string: "batch[,mode-tokens...]", e.g. "48,noremat,k10" vs "48,k1".
+    Prints per-rep samples and medians."""
+    def parse(s):
+        parts = s.split(",")
+        return int(parts[0]), ",".join(parts[1:])
+
+    (ba, ma), (bb, mb) = parse(cfg_a), parse(cfg_b)
+    samples = {"a": [], "b": []}
+    for r in range(reps):
+        samples["a"].append(bench_pretrain(ba, 30, ma, quiet=True))
+        samples["b"].append(bench_pretrain(bb, 30, mb, quiet=True))
+        print(json.dumps({"rep": r, "a": round(samples["a"][-1], 2),
+                          "b": round(samples["b"][-1], 2)}))
+    med = lambda xs: float(np.median(xs))
     print(json.dumps({
-        "metric": "pretrain_pairs_per_sec_per_chip",
-        "value": round(pairs_per_sec, 2),
-        "unit": "image-text pairs/sec/chip",
-        "vs_baseline": round(pairs_per_sec / A100_EQUIV_PAIRS_PER_SEC, 3),
+        "metric": "ab_pretrain_pairs_per_sec",
+        "a": {"cfg": cfg_a, "median": round(med(samples["a"]), 2),
+              "samples": [round(x, 2) for x in samples["a"]]},
+        "b": {"cfg": cfg_b, "median": round(med(samples["b"]), 2),
+              "samples": [round(x, 2) for x in samples["b"]]},
+        "b_over_a": round(med(samples["b"]) / med(samples["a"]), 4),
     }))
+
+
+def main() -> None:
+    import os
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from medvill_tpu.utils.seed import use_hardware_prng
+    use_hardware_prng()  # rbg dropout keys: 220.6 vs 210.8 pairs/s paired
+
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if cmd == "decode":
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+        bench_decode(batch, iters)
+        return
+    if cmd == "finetune":
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        iters = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        bench_finetune(batch, iters)
+        return
+    if cmd == "ab":
+        bench_ab(sys.argv[2], sys.argv[3],
+                 int(sys.argv[4]) if len(sys.argv) > 4 else 3)
+        return
+    if cmd == "all":
+        # the three driver-recorded metrics (BASELINE.json names pretrain
+        # pairs/s and decode tokens/s as north stars); the headline
+        # pretrain line prints LAST
+        bench_decode(32, 2)
+        bench_finetune(16, 6)
+        bench_pretrain()
+        return
+
+    # tuning mode: `python bench.py <batch> [steps] [mode-tokens]`
+    batch = int(cmd)
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    mode = sys.argv[3] if len(sys.argv) > 3 else (
+        "remat" if batch > 96 else "noremat")
+    bench_pretrain(batch, steps, mode)
 
 
 if __name__ == "__main__":

@@ -246,7 +246,7 @@ def bench_ours_cpu() -> float:
         use_flash_attention=False)
     tx = optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay)
     tx = optim.masked_trainable(
-        tx, lambda p: resnet_lib.cnn_prefix_freeze_mask(
+        tx, lambda p: resnet_lib.cnn_freeze_mask(
             p, ("enc", "img_encoder")))
     model, state = init_state(cfg, jax.random.PRNGKey(0), tx)
 

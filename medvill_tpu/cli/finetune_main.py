@@ -182,12 +182,12 @@ def main(args) -> None:
                     args.resnet_init_path)
     tx = ft.make_finetune_tx(cfg)
     if cfg.image.freeze_prefix_stages:
-        # unconditional CNN-prefix freeze from the reference model
+        # unconditional whole-trunk CNN freeze from the reference model
         # constructor (model.py:910-924); the train step stop-grads the
         # same leaves
         from medvill_tpu.models import resnet as resnet_lib
         tx = optim.masked_trainable(
-            tx, lambda p: resnet_lib.cnn_prefix_freeze_mask(
+            tx, lambda p: resnet_lib.cnn_freeze_mask(
                 p, ("bert", "img_encoder")))
     state = TrainState(step=jnp.zeros([], jnp.int32), params=params,
                        batch_stats=batch_stats, opt_state=tx.init(params))
@@ -249,7 +249,16 @@ def main(args) -> None:
 def _merge_pretrain(params, restored):
     """Map pretrain CXRBERT params onto the finetune VLP model: ``enc.`` ->
     ``bert.`` (encoder/embeddings/img stack) and ``mlm.`` -> ``cls.``
-    (reference key remap: finetune.py:333-339)."""
+    (reference key remap: finetune.py:333-339).
+
+    Under --relax_projection the finetune MLM-head transform is
+    ``relax_projection`` times wider than the pretrain one; the reference
+    tiles the pretrained transform dense weight/bias and LayerNorm
+    weight/bias that many times along the widened axis
+    (model.py:689-707 "initialize relax projection") so every task slice
+    starts from the pretrained projection.  Our flax kernel is [in, out]
+    (torch is [out, in]), so the torch stack-along-out equals a tile along
+    the kernel's last axis."""
     import flax
 
     if restored is None:
@@ -266,8 +275,20 @@ def _merge_pretrain(params, restored):
             cand = ("cls",) + path[1:]
         else:
             cand = path
-        if cand in flat_dst and flat_dst[cand].shape == np.shape(leaf):
+        if cand not in flat_dst:
+            continue
+        dst_shape = flat_dst[cand].shape
+        leaf = np.asarray(leaf)
+        if dst_shape == leaf.shape:
             merged[cand] = leaf
+            n += 1
+        elif (len(cand) >= 2
+              and cand[-2] in ("transform_dense", "transform_LayerNorm")
+              and leaf.ndim >= 1 and leaf.shape[-1] > 0
+              and dst_shape[:-1] == leaf.shape[:-1]
+              and dst_shape[-1] % leaf.shape[-1] == 0):
+            reps = dst_shape[-1] // leaf.shape[-1]
+            merged[cand] = np.tile(leaf, (1,) * (leaf.ndim - 1) + (reps,))
             n += 1
     return flax.traverse_util.unflatten_dict(merged)
 

@@ -19,12 +19,13 @@ from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                      PretrainConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
 from medvill_tpu.core.mesh import (make_mesh, multihost_initialize, replicate,
-                                   shard_batch)
+                                   shard_batch, shard_stacked_batch)
 from medvill_tpu.data.pretrain import (BatchLoader, CXRPretrainDataset,
                                        PrefetchLoader)
 from medvill_tpu.data.tokenization import BertTokenizer
 from medvill_tpu.train import optim
 from medvill_tpu.train.pretrain import (init_state, make_eval_step,
+                                        make_multi_train_step,
                                         make_train_step)
 from medvill_tpu.utils.logging import MetricLogger, create_logger
 from medvill_tpu.utils.seed import set_seed, use_hardware_prng
@@ -114,6 +115,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="torchvision resnet50 .pth to initialize the "
                         "visual trunk (reference: models/image.py:50 "
                         "pretrained=True)")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="train micro-steps fused into one jit dispatch via "
+                        "lax.scan (amortizes per-dispatch overhead; 8 is a "
+                        "good TPU value).  Epoch-tail batches that do not "
+                        "fill a group are dropped.")
+    p.add_argument("--freeze_img_trunk", type=str2bool, default=True,
+                   help="freeze the entire ResNet trunk (the reference's "
+                        "executed behavior: its children()[5:] unfreeze is "
+                        "a no-op, cxrbert_origin.py:65-70); set false to "
+                        "train the trunk")
     return p
 
 
@@ -131,7 +142,8 @@ def config_from_args(args) -> PretrainConfig:
     image = ImageEncoderConfig(
         encoder=args.img_encoder, img_size=args.img_size,
         img_channel=args.img_channel, img_hidden_size=args.img_hidden_sz,
-        num_image_embeds=args.num_image_embeds)
+        num_image_embeds=args.num_image_embeds,
+        freeze_prefix_stages=args.freeze_img_trunk)
     return PretrainConfig(
         train_dataset=args.train_dataset, test_dataset=args.test_dataset,
         output_path=args.output_path, log_freq=args.log_freq,
@@ -178,14 +190,25 @@ def train(args) -> None:
         optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay),
         cfg.gradient_accumulation_steps)
     if cfg.image.freeze_prefix_stages and cfg.image.encoder != "ViT":
-        # unconditional CNN-prefix freeze — the reference model constructor
-        # sets requires_grad=False on torchvision children [:5] regardless of
-        # init source (cxrbert_origin.py:66-70); the train step stop-grads
-        # the same leaves so XLA drops their backward
+        # unconditional whole-trunk CNN freeze — the reference constructor
+        # sets requires_grad=False on the entire ResNet (the children()[5:]
+        # unfreeze is a no-op; cxrbert_origin.py:65-70, image.py:46-52);
+        # the train step stop-grads the same leaves so XLA drops their
+        # backward
         from medvill_tpu.models import resnet as resnet_lib
         tx = optim.masked_trainable(
-            tx, lambda p: resnet_lib.cnn_prefix_freeze_mask(
+            tx, lambda p: resnet_lib.cnn_freeze_mask(
                 p, ("enc", "img_encoder")))
+        if not getattr(args, "resnet_init_path", None):
+            # reference always freezes an ImageNet-pretrained trunk
+            # (torchvision resnet50(pretrained=True), image.py:50); freezing
+            # a random trunk trains against fixed random conv features
+            logger.warning(
+                "CNN trunk is frozen (reference semantics) but no "
+                "--resnet_init_path was given: the frozen trunk stays "
+                "RANDOMLY initialized. Pass --resnet_init_path with "
+                "torchvision ResNet-50 weights for reference-equivalent "
+                "training, or --freeze_img_trunk false to train the trunk.")
     model, state = init_state(cfg, jax.random.PRNGKey(cfg.seed), tx)
     if getattr(args, "hf_bert_checkpoint", None):
         from medvill_tpu.core import torch_init
@@ -203,11 +226,11 @@ def train(args) -> None:
         new_params, new_bs = torch_init.init_resnet_from_torch(
             state.params, state.batch_stats, args.resnet_init_path,
             trunk_path=("enc", "img_encoder"))
-        # the partial freeze (cxrbert_origin.py:66-70) is already applied
-        # unconditionally to tx above
+        # the whole-trunk freeze (cxrbert_origin.py:65-70) is already
+        # applied unconditionally to tx above
         state = state.replace(params=new_params, batch_stats=new_bs,
                               opt_state=tx.init(new_params))
-        logger.info("initialized visual trunk from %s (partial freeze=%s)",
+        logger.info("initialized visual trunk from %s (trunk frozen=%s)",
                     args.resnet_init_path, cfg.image.freeze_prefix_stages)
     if cfg.weight_load and cfg.pre_trained_model_path:
         epoch = ckpt_lib.latest_epoch(cfg.pre_trained_model_path)
@@ -215,16 +238,42 @@ def train(args) -> None:
             state = ckpt_lib.restore(cfg.pre_trained_model_path, epoch, state)
             logger.info("restored checkpoint epoch %s", epoch)
     state = replicate(mesh, state)
-    train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
+    k_disp = max(1, getattr(args, "steps_per_dispatch", 1))
+    if k_disp > 1:
+        # k micro-steps per jit dispatch (lax.scan over stacked batches):
+        # amortizes per-dispatch host/RPC overhead (~25% of wall step time
+        # measured at the reference config); grad accumulation composes —
+        # MultiSteps state advances inside the scan
+        train_step = jax.jit(make_multi_train_step(model, tx, cfg, k_disp),
+                             donate_argnums=(0,))
+    else:
+        train_step = jax.jit(make_train_step(model, tx, cfg),
+                             donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(model, cfg))
     rng = jax.random.PRNGKey(cfg.seed)
+
+    def grouped(loader, k):
+        """Stack groups of k host batches into [k, B, ...] leaves; the
+        (at most k-1) tail batches of an epoch are dropped to keep shapes
+        static."""
+        buf = []
+        for b in loader:
+            buf.append(b)
+            if len(buf) == k:
+                yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *buf)
+                buf = []
 
     for epoch in range(cfg.epochs):
         t0 = time.time()
         agg = {}
-        prefetched = PrefetchLoader(
-            train_loader, depth=2,
-            place_fn=lambda b: shard_batch(mesh, b))
+        if k_disp > 1:
+            prefetched = PrefetchLoader(
+                grouped(train_loader, k_disp), depth=2,
+                place_fn=lambda b: shard_stacked_batch(mesh, b))
+        else:
+            prefetched = PrefetchLoader(
+                train_loader, depth=2,
+                place_fn=lambda b: shard_batch(mesh, b))
         profiling = (args.profile_dir and epoch == 0)
         for i, batch in enumerate(prefetched):
             if profiling and i == 2:
@@ -235,10 +284,11 @@ def train(args) -> None:
                 jax.profiler.stop_trace()
                 profiling = False
             for k, val in m.items():
-                agg.setdefault(k, []).append(float(val))
+                vals = np.asarray(val).reshape(-1)  # [k_disp] or scalar
+                agg.setdefault(k, []).extend(float(v) for v in vals)
             if i % cfg.log_freq == 0:
-                logger.info("epoch %d it %d loss %.4f", epoch, i,
-                            float(m["loss"]))
+                logger.info("epoch %d it %d loss %.4f", epoch, i * k_disp,
+                            float(np.asarray(m["loss"]).reshape(-1)[-1]))
         row = {f"avg_{k}": float(np.mean(v)) for k, v in agg.items()}
         if "mlm_correct" in agg:
             row["mlm_acc"] = (np.sum(agg["mlm_correct"])

@@ -95,11 +95,11 @@ def main(args) -> None:
                           image=cfg.image, lr=cfg.lr)
     tx = optim.adamw(cfg.lr)
     if cfg.image.freeze_prefix_stages and cfg.image.encoder != "ViT":
-        # CNN-prefix freeze inherited from the CXRBERT constructor
+        # whole-trunk CNN freeze inherited from the CXRBERT constructor
         # (cxrbert_origin.py:66-70)
         from medvill_tpu.models import resnet as resnet_lib
         tx = optim.masked_trainable(
-            tx, lambda p: resnet_lib.cnn_prefix_freeze_mask(
+            tx, lambda p: resnet_lib.cnn_freeze_mask(
                 p, ("enc", "img_encoder")))
     _, state = init_state(pcfg, jax.random.PRNGKey(cfg.seed), tx)
     if cfg.pretrained_ckpt:

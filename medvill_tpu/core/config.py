@@ -153,8 +153,10 @@ class ImageEncoderConfig:
     patch_size: int = 32           # ViT only: 32 if img_size==512 else 16
     pool_type: str = "avg"         # pool encoders: avg | max
                                    # (--img_embed_pool_type)
-    # ResNet-50 partial freeze: children [5:] trainable — layer2..layer4 in
-    # torchvision child order (reference: models/cxrbert_origin.py:66-70).
+    # ResNet-50 freeze: the reference freezes the ENTIRE trunk — its
+    # children()[5:] unfreeze loop is a no-op because ImageEncoder_cnn's
+    # only child is one nn.Sequential (reference:
+    # models/cxrbert_origin.py:65-70, models/image.py:46-52).
     freeze_prefix_stages: bool = True
     # checkpoint bottleneck blocks (recompute in backward) — frees the
     # early-stage activations that cap batch size at 512 px

@@ -44,6 +44,17 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_stacked_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a [k, B, ...] micro-step-stacked pytree batch (see
+    train.pretrain.make_multi_train_step): axis 0 is the per-dispatch
+    micro-step index (replicated), axis 1 the per-chip batch (sharded over
+    `data`)."""
+    def put(x):
+        spec = P(None, DATA_AXIS, *([None] * (np.ndim(x) - 2)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, batch)
+
+
 def replicate(mesh: Mesh, tree: Any) -> Any:
     """Replicate a pytree (params / optimizer state) over the whole mesh."""
     sharding = NamedSharding(mesh, P())

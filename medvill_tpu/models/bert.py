@@ -114,7 +114,7 @@ class BertSelfAttention(nn.Module):
         cfg = self.config
         B, L, _ = hidden.shape
         shape = (B, L, cfg.num_attention_heads, cfg.head_dim)
-        if self.is_initializing() or not getattr(cfg, "fused_qkv", True):
+        if self.is_initializing() or not getattr(cfg, "fused_qkv", False):
             q = self.query(hidden).reshape(shape)
             k = self.key(hidden).reshape(shape)
             v = self.value(hidden).reshape(shape)

@@ -8,9 +8,10 @@ running stats, so ImageNet weights port 1:1 via
 `medvill_tpu.core.checkpoint.import_torchvision_resnet50`.
 
 TPU notes: NHWC layout (XLA-native on TPU), convs in bf16 with fp32 batch-norm
-statistics.  The partial-freeze policy (torchvision children [5:] trainable =
-layer2..layer4; reference: models/cxrbert_origin.py:66-70) is applied by the
-optimizer via `trainable_mask`, not by the module.
+statistics.  The freeze policy (whole trunk frozen — the reference's
+children()[5:] unfreeze is a no-op; models/cxrbert_origin.py:65-70,
+models/image.py:46-52) is applied by the optimizer via `trainable_mask`,
+not by the module.
 """
 from __future__ import annotations
 
@@ -209,27 +210,32 @@ def half_pooled_fibers(fmap: jnp.ndarray,
 
 
 def trainable_mask(params) -> dict:
-    """Pytree of bools: True where trainable under the reference's partial
-    freeze (torchvision children [5:] = layer2, layer3, layer4 trainable;
-    conv1/bn1/layer1 frozen; reference: models/cxrbert_origin.py:66-70)."""
+    """Pytree of bools over the trunk: all False (entire trunk frozen).
+
+    The reference *reads* like a partial freeze — freeze everything, then
+    unfreeze ``list(self.img_encoder.children())[5:]`` — but that unfreeze
+    loop is a no-op: ``ImageEncoder_cnn``'s only child is the single
+    ``nn.Sequential`` wrapping conv1..layer4 (reference:
+    models/image.py:46-52), so ``children()[5:] == []`` and the ENTIRE
+    ResNet trunk stays ``requires_grad=False``
+    (models/cxrbert_origin.py:65-70; the same no-op pattern at
+    sc/pytorch_pretrained_bert/model.py:910-924,1066-1080).  We match the
+    executed behavior, not the apparent intent: whole trunk frozen.
+    BatchNorm running stats still update in train mode, exactly like torch
+    (requires_grad does not gate running-stat EMA updates)."""
     import flax
     flat = flax.traverse_util.flatten_dict(params)
-    out = {}
-    for path in flat:
-        top = path[0]
-        trainable = top.startswith(("layer2", "layer3", "layer4"))
-        out[path] = trainable
-    return flax.traverse_util.unflatten_dict(out)
+    return flax.traverse_util.unflatten_dict({p: False for p in flat})
 
 
-def cnn_prefix_freeze_mask(params, trunk_path: Sequence[str]):
-    """Full-param-tree bool mask for the reference's unconditional CNN-prefix
+def cnn_freeze_mask(params, trunk_path: Sequence[str]):
+    """Full-param-tree bool mask for the reference's unconditional CNN
     freeze: every CNN image-encoder model constructs with
-    ``requires_grad=False`` on torchvision children [:5] = conv1/bn1/relu/
-    maxpool/layer1 (reference: models/cxrbert_origin.py:66-70,
+    ``requires_grad=False`` on the whole trunk (see ``trainable_mask`` —
+    the apparent children[5:] unfreeze is a no-op; reference:
+    models/cxrbert_origin.py:65-70, models/image.py:46-52,
     sc/pytorch_pretrained_bert/model.py:910-924,1066-1080) — regardless of
-    init source.  True everywhere except the frozen prefix of the trunk at
-    ``trunk_path``."""
+    init source.  True everywhere except the trunk at ``trunk_path``."""
     import flax
     import jax
 

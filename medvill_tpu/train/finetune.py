@@ -64,12 +64,12 @@ def make_train_step(model: VLPForPreTraining, tx, cfg: FinetuneConfig,
 
         def loss_fn(params):
             if cfg.image.freeze_prefix_stages:
-                # reference's unconditional CNN-prefix freeze
-                # (model.py:910-924): stop-grad conv1/bn1/layer1 so XLA DCEs
+                # reference's unconditional whole-trunk CNN freeze
+                # (model.py:910-924 — no-op unfreeze): stop-grad so XLA DCEs
                 # their backward entirely
-                from medvill_tpu.models.resnet import cnn_prefix_freeze_mask
+                from medvill_tpu.models.resnet import cnn_freeze_mask
                 params = optim.stop_frozen(
-                    params, cnn_prefix_freeze_mask(
+                    params, cnn_freeze_mask(
                         params, ("bert", "img_encoder")))
             variables = {"params": params, "batch_stats": state.batch_stats}
             if cfg.task == "vqa":

@@ -250,9 +250,9 @@ def stop_frozen(params, trainable_mask):
     """``lax.stop_gradient`` on frozen leaves inside a loss_fn.
 
     Frozen-param grads become symbolic zeros, and — because the frozen CNN
-    prefix (conv1/bn1/layer1) sits at the very bottom of the network — XLA
-    dead-code-eliminates the entire backward pass through those stages (the
-    most bandwidth-heavy 256²/128²-spatial convs at 512 px input).  The
+    trunk sits at the very bottom of the network — XLA dead-code-eliminates
+    the entire conv backward pass (including the bandwidth-heaviest
+    256²/128²-spatial convs at 512 px input).  The
     optimizer-side mask (``masked_trainable``) is still required so weight
     decay does not move the frozen params."""
     return jax.tree_util.tree_map(

@@ -243,12 +243,12 @@ def make_train_step(model: CXRBERT, tx: optax.GradientTransformation,
 
         def loss_fn(params):
             if freeze:
-                # stop-grad the frozen CNN prefix (cxrbert_origin.py:66-70):
-                # XLA then DCEs the backward through conv1/bn1/layer1 — the
-                # bandwidth-heaviest convs of the 512-px trunk
-                from medvill_tpu.models.resnet import cnn_prefix_freeze_mask
+                # stop-grad the frozen CNN trunk (cxrbert_origin.py:65-70
+                # — the children()[5:] unfreeze is a no-op, so the WHOLE
+                # trunk is frozen): XLA then DCEs the entire conv backward
+                from medvill_tpu.models.resnet import cnn_freeze_mask
                 params = optim.stop_frozen(
-                    params, cnn_prefix_freeze_mask(
+                    params, cnn_freeze_mask(
                         params, ("enc", "img_encoder")))
             return pretrain_loss_and_metrics(
                 model, params, state.batch_stats, batch, dropout_rng,
@@ -263,6 +263,42 @@ def make_train_step(model: CXRBERT, tx: optax.GradientTransformation,
         return new_state, metrics
 
     return train_step
+
+
+def make_multi_train_step(model: CXRBERT, tx: optax.GradientTransformation,
+                          cfg: PretrainConfig, k: int, attention_fn=None,
+                          reuse_batch: bool = False):
+    """``k`` train micro-steps inside ONE jit dispatch.
+
+    Per-dispatch host/runtime overhead (Python dispatch, transfer-guard
+    checks, and on a remote-tunnel runtime the per-launch RPC) was measured
+    at ~25% of wall step time at the reference config (trace ~160 ms device
+    vs ~218 ms wall); a ``lax.scan`` over micro-steps amortizes it 1/k.
+    The reference has no equivalent — each ``loss.backward()`` is its own
+    launch (models/train_origin.py:96-107).
+
+    - default: ``batch`` leaves carry a leading micro-step dim ``[k, B,
+      ...]`` (see ``mesh.shard_stacked_batch``); scan feeds one micro-batch
+      per iteration.  Composes with ``optim.accumulate`` (MultiSteps state
+      advances inside the scan), so grad-accum costs no extra dispatches.
+    - ``reuse_batch=True``: one ``[B, ...]`` batch reused for every
+      micro-step (synthetic-data benches only).
+
+    Returns ``(state, metrics)`` with metrics stacked ``[k, ...]`` — callers
+    log per-micro-step or take ``[-1]``.
+    """
+    step = make_train_step(model, tx, cfg, attention_fn=attention_fn)
+
+    def multi_step(state: TrainState, batch, rng):
+        def body(carry, xs):
+            new_state, metrics = step(carry, batch if reuse_batch else xs,
+                                      rng)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, None if reuse_batch else batch,
+                            length=k if reuse_batch else None)
+
+    return multi_step
 
 
 def make_eval_step(model: CXRBERT, cfg: PretrainConfig, attention_fn=None):

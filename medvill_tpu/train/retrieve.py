@@ -47,12 +47,12 @@ def make_train_step(model: CXRBERT, tx, cfg: RetrievalConfig,
 
         def loss_fn(params):
             if cfg.image.freeze_prefix_stages and cfg.image.encoder != "ViT":
-                # unconditional CNN-prefix freeze inherited from the CXRBERT
+                # unconditional whole-trunk CNN freeze inherited from the CXRBERT
                 # constructor (cxrbert_origin.py:66-70)
-                from medvill_tpu.models.resnet import cnn_prefix_freeze_mask
+                from medvill_tpu.models.resnet import cnn_freeze_mask
                 from medvill_tpu.train import optim as optim_lib
                 params = optim_lib.stop_frozen(
-                    params, cnn_prefix_freeze_mask(
+                    params, cnn_freeze_mask(
                         params, ("enc", "img_encoder")))
             logits, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},

@@ -1,11 +1,13 @@
-"""The reference's unconditional CNN-prefix freeze.
+"""The reference's unconditional whole-trunk CNN freeze.
 
-Every CNN image-encoder model sets ``requires_grad=False`` on torchvision
-children [:5] (conv1/bn1/relu/maxpool/layer1) at construction time —
-reference: models/cxrbert_origin.py:66-70,
-sc/pytorch_pretrained_bert/model.py:910-924.  Here the train step stop-grads
-those leaves (so XLA DCEs their backward) and the optimizer masks their
-updates (so weight decay cannot move them).
+Every CNN image-encoder model sets ``requires_grad=False`` on ALL trunk
+params at construction time: the apparent unfreeze of
+``children()[5:]`` is a no-op because ImageEncoder_cnn's only child is one
+nn.Sequential (reference: models/cxrbert_origin.py:65-70,
+models/image.py:46-52, sc/pytorch_pretrained_bert/model.py:910-924).  Here
+the train step stop-grads the trunk leaves (so XLA DCEs the entire conv
+backward) and the optimizer masks their updates (so weight decay cannot
+move them).
 """
 import dataclasses
 
@@ -49,11 +51,11 @@ def make_batch(cfg, rng):
     )
 
 
-def test_frozen_prefix_params_unchanged_and_rest_moves():
+def test_frozen_trunk_params_unchanged_and_bert_moves():
     cfg = tiny_cfg()
     tx = optim.adamw(1e-3, weight_decay=0.01)
     tx = optim.masked_trainable(
-        tx, lambda p: resnet_lib.cnn_prefix_freeze_mask(
+        tx, lambda p: resnet_lib.cnn_freeze_mask(
             p, ("enc", "img_encoder")))
     model, state = init_state(cfg, jax.random.PRNGKey(0), tx)
     step = jax.jit(make_train_step(model, tx, cfg))
@@ -64,18 +66,11 @@ def test_frozen_prefix_params_unchanged_and_rest_moves():
 
     trunk0 = state.params["enc"]["img_encoder"]
     trunk1 = new_state.params["enc"]["img_encoder"]
-    # frozen: conv1 / bn1 / layer1_* identical (weight decay masked too)
-    for name in ("conv1", "bn1", "layer1_0", "layer1_1", "layer1_2"):
-        before = jax.tree_util.tree_leaves(trunk0[name])
-        after = jax.tree_util.tree_leaves(trunk1[name])
-        for b, a in zip(before, after):
-            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
-    # trainable: layer2 onward moved
-    d = jax.tree_util.tree_map(
-        lambda a, b: float(jnp.abs(a - b).max()),
-        trunk0["layer2_0"], trunk1["layer2_0"])
-    assert max(jax.tree_util.tree_leaves(d)) > 0
-    # ...and so did the transformer
+    # frozen: the ENTIRE trunk is identical (weight decay masked too)
+    for b, a in zip(jax.tree_util.tree_leaves(trunk0),
+                    jax.tree_util.tree_leaves(trunk1)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    # ...but the transformer moved
     q0 = state.params["enc"]["encoder"]["layer_0"]["self"]["query"]["kernel"]
     q1 = new_state.params["enc"]["encoder"]["layer_0"]["self"]["query"][
         "kernel"]
@@ -88,7 +83,7 @@ def test_frozen_bn_running_stats_still_update():
     cfg = tiny_cfg()
     tx = optim.adamw(1e-3)
     tx = optim.masked_trainable(
-        tx, lambda p: resnet_lib.cnn_prefix_freeze_mask(
+        tx, lambda p: resnet_lib.cnn_freeze_mask(
             p, ("enc", "img_encoder")))
     model, state = init_state(cfg, jax.random.PRNGKey(0), tx)
     step = jax.jit(make_train_step(model, tx, cfg))
@@ -101,8 +96,8 @@ def test_frozen_bn_running_stats_still_update():
 
 
 def test_stop_gradient_prunes_frozen_backward():
-    """The stop-grad makes frozen-prefix grads literal zeros (XLA can then
-    DCE the producing ops)."""
+    """The stop-grad makes all trunk grads literal zeros (XLA can then
+    DCE the producing ops — the whole conv backward disappears)."""
     cfg = tiny_cfg()
     model, state = init_state(cfg, jax.random.PRNGKey(0),
                               optim.adamw(1e-3))
@@ -110,7 +105,7 @@ def test_stop_gradient_prunes_frozen_backward():
 
     def loss_fn(params):
         params = optim.stop_frozen(
-            params, resnet_lib.cnn_prefix_freeze_mask(
+            params, resnet_lib.cnn_freeze_mask(
                 params, ("enc", "img_encoder")))
         loss, _ = pretrain_loss_and_metrics(
             model, params, state.batch_stats,
@@ -120,12 +115,11 @@ def test_stop_gradient_prunes_frozen_backward():
         return loss
 
     grads = jax.grad(loss_fn)(state.params)
-    g_conv1 = grads["enc"]["img_encoder"]["conv1"]["kernel"]
-    assert float(jnp.abs(g_conv1).max()) == 0.0
-    g_l1 = jax.tree_util.tree_leaves(grads["enc"]["img_encoder"]["layer1_0"])
-    assert all(float(jnp.abs(g).max()) == 0.0 for g in g_l1)
-    g_l2 = grads["enc"]["img_encoder"]["layer2_0"]["conv1"]["kernel"]
-    assert float(jnp.abs(g_l2).max()) > 0
+    g_trunk = jax.tree_util.tree_leaves(grads["enc"]["img_encoder"])
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in g_trunk)
+    # the joint-embedding image projection (outside the trunk) still trains
+    g_proj = jax.tree_util.tree_leaves(grads["enc"]["img_projection"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in g_proj)
 
 
 def test_vit_encoder_not_frozen():
@@ -135,7 +129,7 @@ def test_vit_encoder_not_frozen():
                                       encoder="ViT", patch_size=32))
     model, state = init_state(cfg, jax.random.PRNGKey(0), optim.adamw(1e-3))
     with pytest.raises(ValueError):
-        resnet_lib.cnn_prefix_freeze_mask(
+        resnet_lib.cnn_freeze_mask(
             state.params, ("enc", "img_encoder", "layer1_0"))
     # ViT path: make_train_step must not try to freeze
     tx = optim.adamw(1e-3)

@@ -115,9 +115,9 @@ def test_partial_freeze_mask(tiny_state):
     mask = torch_init.partial_freeze_mask(
         state.params, ("enc", "img_encoder"), resnet_lib.trainable_mask)
     trunk = mask["enc"]["img_encoder"]
-    assert trunk["conv1"]["kernel"] is False
-    assert trunk["layer1_0"]["conv1"]["kernel"] is False
-    assert trunk["layer2_0"]["conv1"]["kernel"] is True
+    # the whole trunk is frozen (the reference's children()[5:] unfreeze is
+    # a no-op — models/image.py:46-52); everything outside stays trainable
+    assert all(v is False for v in jax.tree_util.tree_leaves(trunk))
     assert mask["enc"]["embeddings"]["word_embeddings"]["embedding"] is True
     # the masked optimizer really zeroes frozen updates
     tx = optim.masked_trainable(optim.adamw(1e-2), mask)
@@ -126,8 +126,8 @@ def test_partial_freeze_mask(tiny_state):
     upd, _ = tx.update(grads, opt_state, state.params)
     assert float(jnp.abs(upd["enc"]["img_encoder"]["conv1"]["kernel"]).max()
                  ) == 0.0
-    assert float(jnp.abs(upd["enc"]["img_encoder"]["layer2_0"]["conv1"]
-                         ["kernel"]).max()) > 0.0
+    assert float(jnp.abs(upd["enc"]["embeddings"]["word_embeddings"]
+                         ["embedding"]).max()) > 0.0
 
 
 @pytest.mark.slow

@@ -45,7 +45,7 @@ def run_step_under_trace(batch: int, mode: str) -> None:
     )
     tx = optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay)
     tx = optim.masked_trainable(
-        tx, lambda p: resnet_lib.cnn_prefix_freeze_mask(
+        tx, lambda p: resnet_lib.cnn_freeze_mask(
             p, ("enc", "img_encoder")))
     model, state = init_state(cfg, jax.random.PRNGKey(0), tx)
     rng = np.random.default_rng(0)

@@ -32,14 +32,16 @@ import numpy as np
 A100_EQUIV_PAIRS_PER_SEC = 70.0
 
 
-def bench_decode(batch: int = 8, iters: int = 3) -> None:
+def bench_decode(batch: int = 8, iters: int = 3, beam: int = 1) -> None:
     """Report-generation decode tokens/sec (the second north-star metric):
-    KV-cached greedy decode, BERT-base VLP, 256 image embeds @512px,
-    max 128 text tokens (reference decode config:
-    sc/generation_decode.py:114-311)."""
+    KV-cached greedy (beam=1) or beam-search decode, BERT-base VLP, 256
+    image embeds @512px, max 128 text tokens (reference decode config:
+    sc/generation_decode.py:114-311; beam is the mode behind the published
+    BLEU numbers)."""
     from medvill_tpu.core.config import BertConfig, FinetuneConfig, \
         ImageEncoderConfig
-    from medvill_tpu.models.decoder import DecodeSettings, greedy_decode
+    from medvill_tpu.models.decoder import (DecodeSettings, beam_search,
+                                            greedy_decode)
     from medvill_tpu.train import finetune as ft
 
     cfg = FinetuneConfig(
@@ -56,13 +58,19 @@ def bench_decode(batch: int = 8, iters: int = 3) -> None:
         masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
         deterministic=True)
     settings = DecodeSettings(max_txt_length=128, mask_word_id=103,
-                              eos_id=-1)  # never stop: measure full length
+                              eos_id=-1,  # never stop: measure full length
+                              beam_size=beam)
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.standard_normal(
         (batch, 512, 512, 3)).astype(np.float32))
 
-    run = jax.jit(lambda v, im: greedy_decode(model, v, im, settings,
-                                              101, 102))
+    if beam > 1:
+        run_b = jax.jit(lambda v, im: beam_search(model, v, im, settings,
+                                                  101, 102))
+        run = lambda v, im: (run_b(v, im)[0], None, None)
+    else:
+        run = jax.jit(lambda v, im: greedy_decode(model, v, im, settings,
+                                                  101, 102))
     out_ids, _, _ = run(variables, image)
     _ = int(np.asarray(out_ids)[0, 0])  # host sync
     t0 = time.perf_counter()
@@ -71,10 +79,12 @@ def bench_decode(batch: int = 8, iters: int = 3) -> None:
         _ = int(np.asarray(out_ids)[0, 0])
     dt = time.perf_counter() - t0
     toks_per_sec = batch * settings.max_txt_length * iters / dt
+    mode = "greedy" if beam == 1 else f"beam {beam}"
     print(json.dumps({
-        "metric": "report_gen_decode_tokens_per_sec",
+        "metric": "report_gen_decode_tokens_per_sec" if beam == 1
+        else "report_gen_decode_tokens_per_sec_beam%d" % beam,
         "value": round(toks_per_sec, 2),
-        "unit": "tokens/sec (greedy, batch %d, KV cache)" % batch,
+        "unit": "tokens/sec (%s, batch %d, KV cache)" % (mode, batch),
         "vs_baseline": round(toks_per_sec / 300.0, 3),
         # denominator: ~300 tok/s is a documented estimate for the
         # reference's hidden-state-cache greedy loop on one A100
@@ -262,6 +272,74 @@ def bench_pretrain(batch: int = 48, steps: int = 30, mode: str = "",
     return pairs_per_sec
 
 
+def bench_host(n_images: int = 16, batch: int = 48,
+               n_batches: int = 4, device_rate: float = 313.9) -> None:
+    """Host input-pipeline throughput (image-text pairs/sec per host core):
+    the REAL loader path — PIL 512x512 JPEG decode, wordpiece tokenization
+    (native C++ when built), whole-word masking RNG, ITM negative sampling,
+    BatchLoader collation — i.e. the work PrefetchLoader overlaps with the
+    device step.  Reference equivalent: torch DataLoader(num_workers=20)
+    (main_origin.py:52-54).  Also reports how many host cores one chip at
+    ``device_rate`` pairs/s needs to stay fed."""
+    import random
+    import tempfile
+
+    from PIL import Image
+
+    from medvill_tpu.core.config import PretrainConfig
+    from medvill_tpu.data.pretrain import BatchLoader, CXRPretrainDataset
+    from medvill_tpu.data.tokenization import BertTokenizer, build_vocab
+
+    d = tempfile.mkdtemp(prefix="bench_host_")
+    rng = np.random.default_rng(0)
+    img_paths = []
+    for i in range(n_images):
+        p = f"{d}/img_{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (512, 512), np.uint8),
+                        "L").save(p, quality=90)
+        img_paths.append(p)
+    words = [f"finding{i}" for i in range(200)] + [
+        "lungs", "clear", "pleural", "effusion", "cardiomegaly", "acute",
+        "stable", "pneumothorax", "opacity", "consolidation"]
+    vocab = build_vocab(words)
+    vocab_file = f"{d}/vocab.txt"
+    with open(vocab_file, "w") as f:
+        for tok in vocab:
+            f.write(tok + "\n")
+    try:
+        from medvill_tpu.data.native_tokenizer import NativeBertTokenizer
+
+        tokenizer = NativeBertTokenizer(vocab_file)
+        tok_kind = "native"
+    except Exception:
+        tokenizer = BertTokenizer.from_vocab_file(vocab_file)
+        tok_kind = "python"
+    r = random.Random(0)
+    records = [dict(id=str(i), split="train", label="l0",
+                    text=" ".join(r.choices(words, k=150)),
+                    img=img_paths[i % n_images])
+               for i in range(batch * n_batches)]
+    cfg = PretrainConfig(batch_size=batch)  # 512 px, 180 embeds, seq 253
+    ds = CXRPretrainDataset(records, tokenizer, cfg, seed=0)
+    loader = BatchLoader(ds, batch, shuffle=True, seed=0)
+    # warmup one batch (PIL lazy init etc.)
+    next(iter(loader))
+    t0 = time.perf_counter()
+    n = 0
+    for b in loader:
+        n += b["image"].shape[0]
+    dt = time.perf_counter() - t0
+    pairs_per_sec = n / dt
+    print(json.dumps({
+        "metric": "host_pipeline_pairs_per_sec_per_core",
+        "value": round(pairs_per_sec, 2),
+        "unit": f"pairs/sec/host-core ({tok_kind} tokenizer, 512px JPEG)",
+        "cores_per_chip_at_device_rate":
+            round(device_rate / pairs_per_sec, 2),
+        "vs_baseline": round(pairs_per_sec / device_rate, 3),
+    }))
+
+
 def bench_ab(cfg_a: str, cfg_b: str, reps: int = 3) -> None:
     """Paired A/B: alternate the two pretrain configs back-to-back on the
     same process/box (the box drifts ±5-6% between sessions — DESIGN.md §4 —
@@ -303,7 +381,8 @@ def main() -> None:
     if cmd == "decode":
         batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
         iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-        bench_decode(batch, iters)
+        beam = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+        bench_decode(batch, iters, beam)
         return
     if cmd == "finetune":
         batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -313,6 +392,9 @@ def main() -> None:
     if cmd == "ab":
         bench_ab(sys.argv[2], sys.argv[3],
                  int(sys.argv[4]) if len(sys.argv) > 4 else 3)
+        return
+    if cmd == "host":
+        bench_host(batch=int(sys.argv[2]) if len(sys.argv) > 2 else 48)
         return
     if cmd == "all":
         # the three driver-recorded metrics (BASELINE.json names pretrain

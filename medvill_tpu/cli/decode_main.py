@@ -58,8 +58,9 @@ def build_parser():
                    help="test JSONL with text+img per line")
     p.add_argument("--vocab_file", type=str, required=True)
     p.add_argument("--model_recover_path", type=str, default=None,
-                   help="orbax checkpoint dir; glob patterns allowed "
-                        "(reference: generation_decode.py:376)")
+                   help="orbax checkpoint dir OR torch model.{epoch}.bin "
+                        "file; glob patterns allowed "
+                        "(reference: generation_decode.py:376-410)")
     p.add_argument("--scenarios", type=str, default=None,
                    help="JSON file with a list of scenario dicts "
                         "{dataset, model_name, src_file, model_recover_path,"
@@ -86,6 +87,10 @@ def build_parser():
     p.add_argument("--relax_projection", action="store_true",
                    help="decode a checkpoint finetuned with 4 task-specific "
                         "MLM-head projections (reference: finetune.py:307)")
+    p.add_argument("--do_sample", type=str2bool, default=False,
+                   help="multinomial sampling instead of argmax in the "
+                        "greedy loop (reference sample_mode='sample', "
+                        "model.py:1209-1215)")
     p.add_argument("--teacher_forcing", type=str2bool, default=False,
                    help="True reproduces the reference greedy loop's "
                         "gt-token feeding (model.py:1177-1189)")
@@ -127,7 +132,9 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
         eos_id=v["[SEP]"], beam_size=args.beam_size,
         length_penalty=args.length_penalty,
         forbid_duplicate_ngrams=args.forbid_duplicate_ngrams,
-        ngram_size=args.ngram_size, new_segment_ids=args.new_segment_ids)
+        ngram_size=args.ngram_size, new_segment_ids=args.new_segment_ids,
+        sample_mode="sample" if getattr(args, "do_sample", False)
+        else "greedy")
 
     def image_loader(p):
         return image_lib.load_image(os.path.join(data_dir, p),
@@ -137,11 +144,15 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
     prep = Seq2seqDecodePreprocessor(cfg, tokenizer, args.max_tgt_length)
     B = args.batch_size
 
+    sample_rng = jax.random.PRNGKey(args.seed) \
+        if settings.sample_mode == "sample" else None
+
     @jax.jit
     def run_greedy(image, gt):
         return greedy_decode(model, variables, image, settings, v["[CLS]"],
                              v["[SEP]"], gt_tokens=gt,
-                             teacher_forcing=args.teacher_forcing)
+                             teacher_forcing=args.teacher_forcing,
+                             rng=sample_rng)
 
     @jax.jit
     def run_beam(image):
@@ -229,7 +240,17 @@ def run_one(args, logger, metrics_log, best: _Best,
     for model_path in paths:
         variables = {"params": init_vars["params"],
                      "batch_stats": init_vars.get("batch_stats", {})}
-        if model_path is not None:
+        if model_path is not None and os.path.isfile(model_path):
+            # torch finetune checkpoint (model.{epoch}.bin written by
+            # sc/finetune.py) — the reference decode's recover + key remap
+            # path (generation_decode.py:377-410)
+            from medvill_tpu.core import torch_init
+
+            new_params, new_bs = torch_init.init_vlp_from_torch(
+                variables["params"], variables["batch_stats"], model_path)
+            variables = {"params": new_params, "batch_stats": new_bs}
+            logger.info("recovered torch model %s", model_path)
+        elif model_path is not None:
             epoch = ckpt_lib.latest_epoch(model_path)
             if epoch is not None:
                 restored = ckpt_lib.restore(model_path, epoch, variables,

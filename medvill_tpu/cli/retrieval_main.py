@@ -61,6 +61,10 @@ def build_parser():
     p.add_argument("--load_pretrained_model", type=str, default=None)
     p.add_argument("--bert_model", type=str, default="bert-base-scratch")
     p.add_argument("--vocab_size", type=int, default=30522)
+    p.add_argument("--CXRBERT", type=str2bool, default=True,
+                   help="True: CXRBERT joint-encoder retrieval; False: the "
+                        "late-fusion CNN_BERT baseline (reference: "
+                        "full_dset_retrieval.py:656,549-555)")
     return p
 
 
@@ -86,11 +90,41 @@ def main(args) -> None:
                                  img_size=args.img_size))
 
     mesh = make_mesh(cfg.mesh_shape)
-    model = retrieve.build_model(cfg)
     import jax.numpy as jnp
     from medvill_tpu.train.pretrain import init_state
     from medvill_tpu.core.config import PretrainConfig
 
+    if not args.CXRBERT:
+        # late-fusion CNN_BERT baseline branch
+        # (reference: full_dset_retrieval.py:38,549-555,656)
+        from medvill_tpu.models.cnn_bert import CNNBert
+
+        model = CNNBert(cfg.bert, n_classes=2)
+        L2 = cfg.seq_len + 2
+        tx = optim.adamw(cfg.lr)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(cfg.seed)},
+            jnp.zeros((2, L2), jnp.int32), jnp.ones((2,), jnp.int32),
+            jnp.zeros((2, L2), jnp.int32),
+            jnp.zeros((2, cfg.img_size, cfg.img_size, 3)))
+        state = TrainState(step=jnp.zeros([], jnp.int32),
+                           params=variables["params"],
+                           batch_stats=variables.get("batch_stats", {}),
+                           opt_state=tx.init(variables["params"]))
+        if cfg.pretrained_ckpt:
+            epoch = ckpt_lib.latest_epoch(cfg.pretrained_ckpt)
+            if epoch is not None:
+                state = ckpt_lib.restore(cfg.pretrained_ckpt, epoch, state)
+                logger.info("restored CNN_BERT checkpoint epoch %s", epoch)
+        state = replicate(mesh, state)
+        make_train = retrieve.make_cnn_train_step
+        make_score = lambda m, c: retrieve.make_cnn_score_step(m, c)
+        run_retrieval(args, cfg, mesh, model, tx, state, tokenizer,
+                      make_train, make_score, logger, metrics_log)
+        metrics_log.finish()
+        return
+
+    model = retrieve.build_model(cfg)
     pcfg = PretrainConfig(seq_len=cfg.seq_len, bert=cfg.bert,
                           image=cfg.image, lr=cfg.lr)
     tx = optim.adamw(cfg.lr)
@@ -103,16 +137,41 @@ def main(args) -> None:
                 p, ("enc", "img_encoder")))
     _, state = init_state(pcfg, jax.random.PRNGKey(cfg.seed), tx)
     if cfg.pretrained_ckpt:
-        epoch = ckpt_lib.latest_epoch(cfg.pretrained_ckpt)
-        if epoch is not None:
-            state = ckpt_lib.restore(cfg.pretrained_ckpt, epoch, state)
-            logger.info("restored pretrain checkpoint epoch %s", epoch)
-    state = replicate(mesh, state)
+        from medvill_tpu.core import torch_init
 
+        if torch_init.is_torch_checkpoint(cfg.pretrained_ckpt):
+            # the published MedViLL weights are a torch CXRBERT checkpoint
+            # (reference: retrieval.py:17-24 CXRBERT.from_pretrained)
+            path = cfg.pretrained_ckpt
+            if os.path.isdir(path):
+                path = os.path.join(path, "pytorch_model.bin")
+            new_params, new_bs = torch_init.init_cxrbert_from_torch(
+                state.params, state.batch_stats, path)
+            state = state.replace(params=new_params, batch_stats=new_bs,
+                                  opt_state=tx.init(new_params))
+            logger.info("loaded torch pretrain checkpoint %s", path)
+        else:
+            epoch = ckpt_lib.latest_epoch(cfg.pretrained_ckpt)
+            if epoch is not None:
+                state = ckpt_lib.restore(cfg.pretrained_ckpt, epoch, state)
+                logger.info("restored pretrain checkpoint epoch %s", epoch)
+    state = replicate(mesh, state)
+    run_retrieval(args, cfg, mesh, model, tx, state, tokenizer,
+                  retrieve.make_train_step, retrieve.make_score_step,
+                  logger, metrics_log)
+    metrics_log.finish()
+
+
+def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
+                  make_score, logger, metrics_log) -> None:
+    """Shared train/eval driver for both model branches
+    (reference: full_dset_retrieval.py:341-510)."""
+    cxr_bert = bool(args.CXRBERT)
     if args.do_train:
         train_ds = CXRRetrievalDataset(
             cfg.train_dataset, tokenizer, cfg, is_train=True,
-            label_conditioned=args.label_conditioned, seed=cfg.seed)
+            label_conditioned=args.label_conditioned, seed=cfg.seed,
+            cxr_bert=cxr_bert)
         # pair collate: pos+neg concatenated on batch
         def pair_iter():
             order = np.arange(len(train_ds))
@@ -122,7 +181,7 @@ def main(args) -> None:
                 yield collate_pairs([train_ds[int(j)]
                                      for j in order[i * B:(i + 1) * B]])
 
-        train_step = jax.jit(retrieve.make_train_step(model, tx, cfg))
+        train_step = jax.jit(make_train(model, tx, cfg))
         for epoch in range(cfg.epochs):
             losses, accs = [], []
             for batch in pair_iter():
@@ -139,10 +198,11 @@ def main(args) -> None:
             if args.eval_during_training and cfg.eval_dataset:
                 # reference: full_dset_retrieval.py:415-458
                 eval_ds = CXRRetrievalDataset(cfg.eval_dataset, tokenizer,
-                                              cfg, is_train=False)
+                                              cfg, is_train=False,
+                                              cxr_bert=cxr_bert)
                 eval_loader = BatchLoader(eval_ds, cfg.batch_size,
                                           shuffle=False)
-                score_step = jax.jit(retrieve.make_score_step(model, cfg))
+                score_step = jax.jit(make_score(model, cfg))
                 res = retrieve.run_retrieval_eval(
                     score_step, state, eval_loader, cfg.eval_len_size,
                     cfg.direction,
@@ -154,9 +214,9 @@ def main(args) -> None:
 
     if args.do_test and cfg.eval_dataset:
         eval_ds = CXRRetrievalDataset(cfg.eval_dataset, tokenizer, cfg,
-                                      is_train=False)
+                                      is_train=False, cxr_bert=cxr_bert)
         eval_loader = BatchLoader(eval_ds, cfg.batch_size, shuffle=False)
-        score_step = jax.jit(retrieve.make_score_step(model, cfg))
+        score_step = jax.jit(make_score(model, cfg))
         results = retrieve.run_retrieval_eval(
             score_step, state, eval_loader, cfg.eval_len_size,
             cfg.direction,
@@ -169,7 +229,6 @@ def main(args) -> None:
             json.dump(results, f, indent=2)
         metrics_log.log({"mrr": results["mrr"],
                          **results["hits"][f"{cfg.direction}_retrieval"]})
-    metrics_log.finish()
 
 
 if __name__ == "__main__":

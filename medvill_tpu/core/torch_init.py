@@ -111,6 +111,202 @@ def init_bert_from_torch(params: dict, sd_or_path: Union[str, StateDict],
                                             enc_key=enc_key)
 
 
+def _strip_module_prefix(sd: StateDict) -> StateDict:
+    """nn.DataParallel saves with a ``module.`` prefix
+    (reference trainer wraps the model, models/train_origin.py:53-55)."""
+    if any(k.startswith("module.") for k in sd):
+        return {k[len("module."):] if k.startswith("module.") else k: v
+                for k, v in sd.items()}
+    return sd
+
+
+def _sequential_trunk_sd(sd: StateDict, prefix: str) -> StateDict:
+    """Remap ``{prefix}.model.{i}...`` nn.Sequential keys to torchvision
+    resnet50 names: 0=conv1, 1=bn1, 4..7=layer1..layer4 (the reference wraps
+    ``list(resnet50.children())[:-2]`` in one Sequential,
+    models/image.py:46-52)."""
+    idx_to_name = {"0": "conv1", "1": "bn1", "4": "layer1", "5": "layer2",
+                   "6": "layer3", "7": "layer4"}
+    out: StateDict = {}
+    base = prefix + ".model."
+    for k, v in sd.items():
+        if not k.startswith(base):
+            continue
+        rest = k[len(base):]
+        idx, _, tail = rest.partition(".")
+        if idx not in idx_to_name:
+            continue  # relu / maxpool have no params
+        name = idx_to_name[idx]
+        out[f"{name}.{tail}" if tail else name] = v
+    return out
+
+
+def _bert_sd_from_vendored(sd: StateDict, txt_prefix: str,
+                           enc_prefix: str, pool_prefix: str) -> StateDict:
+    """Collect txt_embeddings/encoder/pooler keys under the plain
+    ``embeddings./encoder./pooler.`` names ``import_hf_bert`` expects."""
+    out: StateDict = {}
+    for k, v in sd.items():
+        if k.startswith(txt_prefix + "."):
+            out["embeddings." + k[len(txt_prefix) + 1:]] = v
+        elif k.startswith(enc_prefix + "."):
+            out["encoder." + k[len(enc_prefix) + 1:]] = v
+        elif k.startswith(pool_prefix + "."):
+            out["pooler." + k[len(pool_prefix) + 1:]] = v
+    return out
+
+
+def _set_checked(tree: dict, path: Sequence[str], value: np.ndarray) -> None:
+    cur = _subtree(tree, path)
+    if tuple(np.shape(cur)) != tuple(np.shape(value)):
+        raise ValueError(f"{'/'.join(path)}: shape {np.shape(value)} != "
+                         f"{np.shape(cur)}")
+    _set_subtree(tree, path, np.asarray(value))
+
+
+def init_cxrbert_from_torch(params: dict, batch_stats: dict,
+                            sd_or_path: Union[str, StateDict],
+                            enc_key: str = "enc") -> tuple[dict, dict]:
+    """Ingest a full torch CXRBERT *pretrain* checkpoint (the published
+    MedViLL weights) — the TPU equivalent of
+    ``CXRBERT.from_pretrained(args.load_pretrained_model)`` wrapped by the
+    retrieval model (reference: Downstream_task/Retrieval/retrieval.py:17-24).
+
+    Torch key layout (models/cxrbert_origin.py:132-149):
+    ``enc.txt_embeddings.* enc.img_embeddings.img_embeddings.*
+    enc.img_encoder.model.{0,1,4..7}.* enc.encoder.layer.* enc.pooler.*
+    mlm.predictions.* itm.linear.*``.
+    """
+    sd = (load_torch_state_dict(sd_or_path) if isinstance(sd_or_path, str)
+          else dict(sd_or_path))
+    sd = _strip_module_prefix(sd)
+    params = copy.deepcopy(params)
+    batch_stats = copy.deepcopy(batch_stats)
+
+    n_layers = len(params[enc_key]["encoder"])
+    bert_sd = _bert_sd_from_vendored(sd, "enc.txt_embeddings", "enc.encoder",
+                                     "enc.pooler")
+    if not bert_sd:
+        raise ValueError("no enc.txt_embeddings/enc.encoder keys found — "
+                         "not a CXRBERT pretrain checkpoint")
+    params = ckpt_lib.load_hf_bert_into_joint(params, bert_sd,
+                                              num_layers=n_layers,
+                                              enc_key=enc_key)
+    # image projection Linear(img_hidden, hidden)
+    _set_checked(params, (enc_key, "img_projection", "kernel"),
+                 np.asarray(sd["enc.img_embeddings.img_embeddings.weight"]).T)
+    _set_checked(params, (enc_key, "img_projection", "bias"),
+                 np.asarray(sd["enc.img_embeddings.img_embeddings.bias"]))
+    # visual trunk
+    trunk_sd = _sequential_trunk_sd(sd, "enc.img_encoder")
+    if trunk_sd:
+        params, batch_stats = init_resnet_from_torch(
+            params, batch_stats, trunk_sd, trunk_path=(enc_key, "img_encoder"))
+    # MLM head (BertPreTrainingHeads; decoder.weight is tied to the word
+    # embeddings loaded above)
+    if "mlm.predictions.transform.dense.weight" in sd:
+        _set_checked(params, ("mlm", "transform_dense", "kernel"),
+                     np.asarray(
+                         sd["mlm.predictions.transform.dense.weight"]).T)
+        _set_checked(params, ("mlm", "transform_dense", "bias"),
+                     np.asarray(sd["mlm.predictions.transform.dense.bias"]))
+        _set_checked(params, ("mlm", "transform_LayerNorm", "scale"),
+                     np.asarray(
+                         sd["mlm.predictions.transform.LayerNorm.weight"]))
+        _set_checked(params, ("mlm", "transform_LayerNorm", "bias"),
+                     np.asarray(
+                         sd["mlm.predictions.transform.LayerNorm.bias"]))
+        _set_checked(params, ("mlm", "decoder_bias"),
+                     np.asarray(sd["mlm.predictions.bias"]))
+    # ITM head (ImageTextMatching, cxrbert_origin.py:164-173)
+    if "itm.linear.weight" in sd:
+        _set_checked(params, ("itm", "linear", "kernel"),
+                     np.asarray(sd["itm.linear.weight"]).T)
+        _set_checked(params, ("itm", "linear", "bias"),
+                     np.asarray(sd["itm.linear.bias"]))
+    return params, batch_stats
+
+
+def init_vlp_from_torch(params: dict, batch_stats: dict,
+                        sd_or_path: Union[str, StateDict],
+                        bert_key: str = "bert") -> tuple[dict, dict]:
+    """Ingest a torch *finetune* checkpoint (``model.{epoch}.bin`` written by
+    sc/finetune.py) into the VLP seq2seq model — the TPU equivalent of the
+    decode entry's recover + key remap
+    (reference: sc/generation_decode.py:377-410: prefixes txt_embeddings/
+    img_embeddings/img_encoder.model/encoder.layer/pooler with ``bert.``
+    then load_state_dict(strict=False)).
+
+    Accepts keys with or without the ``bert.`` prefix; maps ``cls.*`` (MLM
+    head incl. relax_projection-widened transforms) and ``ans_classifier.*``
+    (VQA) when present.
+    """
+    sd = (load_torch_state_dict(sd_or_path) if isinstance(sd_or_path, str)
+          else dict(sd_or_path))
+    sd = _strip_module_prefix(sd)
+    # normalize to the UNprefixed finetune-save layout
+    if any(k.startswith("bert.") for k in sd):
+        sd = {(k[len("bert."):] if k.startswith("bert.") else k): v
+              for k, v in sd.items()}
+    params = copy.deepcopy(params)
+    batch_stats = copy.deepcopy(batch_stats)
+
+    n_layers = len(params[bert_key]["encoder"])
+    bert_sd = _bert_sd_from_vendored(sd, "txt_embeddings", "encoder",
+                                     "pooler")
+    if not bert_sd:
+        raise ValueError("no txt_embeddings/encoder keys found — not a "
+                         "VLP finetune checkpoint")
+    params = ckpt_lib.load_hf_bert_into_joint(params, bert_sd,
+                                              num_layers=n_layers,
+                                              enc_key=bert_key)
+    if "img_embeddings.img_embeddings.weight" in sd:
+        _set_checked(params, (bert_key, "img_projection", "kernel"),
+                     np.asarray(sd["img_embeddings.img_embeddings.weight"]).T)
+        _set_checked(params, (bert_key, "img_projection", "bias"),
+                     np.asarray(sd["img_embeddings.img_embeddings.bias"]))
+    trunk_sd = _sequential_trunk_sd(sd, "img_encoder")
+    if trunk_sd:
+        params, batch_stats = init_resnet_from_torch(
+            params, batch_stats, trunk_sd,
+            trunk_path=(bert_key, "img_encoder"))
+    if "cls.predictions.transform.dense.weight" in sd and "cls" in params:
+        _set_checked(params, ("cls", "transform_dense", "kernel"),
+                     np.asarray(
+                         sd["cls.predictions.transform.dense.weight"]).T)
+        _set_checked(params, ("cls", "transform_dense", "bias"),
+                     np.asarray(sd["cls.predictions.transform.dense.bias"]))
+        _set_checked(params, ("cls", "transform_LayerNorm", "scale"),
+                     np.asarray(
+                         sd["cls.predictions.transform.LayerNorm.weight"]))
+        _set_checked(params, ("cls", "transform_LayerNorm", "bias"),
+                     np.asarray(
+                         sd["cls.predictions.transform.LayerNorm.bias"]))
+        _set_checked(params, ("cls", "decoder_bias"),
+                     np.asarray(sd["cls.predictions.bias"]))
+    if "ans_classifier.0.weight" in sd and "ans_classifier" in params:
+        _set_checked(params, ("ans_classifier", "fc1", "kernel"),
+                     np.asarray(sd["ans_classifier.0.weight"]).T)
+        _set_checked(params, ("ans_classifier", "fc1", "bias"),
+                     np.asarray(sd["ans_classifier.0.bias"]))
+        _set_checked(params, ("ans_classifier", "fc2", "kernel"),
+                     np.asarray(sd["ans_classifier.2.weight"]).T)
+        _set_checked(params, ("ans_classifier", "fc2", "bias"),
+                     np.asarray(sd["ans_classifier.2.bias"]))
+    return params, batch_stats
+
+
+def is_torch_checkpoint(path: str) -> bool:
+    """A path names a torch checkpoint if it is a file (orbax checkpoints
+    are directories) or a directory containing ``pytorch_model.bin``
+    (HF save_pretrained layout, reference retrieval.py:19)."""
+    import os
+
+    if os.path.isfile(path):
+        return True
+    return os.path.isfile(os.path.join(path, "pytorch_model.bin"))
+
+
 def partial_freeze_mask(params: dict, trunk_path: Sequence[str],
                         subtree_mask_fn) -> dict:
     """Full-tree bool mask: everything trainable except what

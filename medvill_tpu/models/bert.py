@@ -205,9 +205,11 @@ class BertLayer(nn.Module):
     def ffn(self, attn_out, deterministic=True):
         inter = self.intermediate(attn_out)
         # exact erf-GELU (reference: cxrbert_origin.py:176-181 /
-        # sc/pytorch_pretrained_bert/model.py gelu)
-        inter = jax.nn.gelu(inter.astype(jnp.float32),
-                            approximate=False).astype(_dtype(self.config))
+        # sc/pytorch_pretrained_bert/model.py gelu) in the compute dtype:
+        # an f32 upcast here materializes the [B·L, 4H] intermediate in f32
+        # and blocks fusion into the gemm epilogue (the reference ran this
+        # in fp16 under apex AMP, finetune.py:297-301)
+        inter = jax.nn.gelu(inter, approximate=False)
         out = self.output_dense(inter)
         out = self.output_dropout(out, deterministic=deterministic)
         return self.output_LayerNorm(out + attn_out).astype(

@@ -56,6 +56,10 @@ class DecodeSettings:
     # vocab ids exempt from ngram forbidding (reference forbid_ignore_set,
     # model.py:1144 — e.g. punctuation ids); tuple for hashability
     forbid_ignore_ids: tuple = ()
+    # 'greedy' argmax | 'sample' multinomial over softmax(logits)
+    # (reference: model.py:1205-1215 sample_mode); sampling needs an rng
+    # passed to greedy_decode
+    sample_mode: str = "greedy"
 
     @property
     def img_type_id(self) -> int:
@@ -94,13 +98,21 @@ def greedy_decode(model: VLPForPreTraining, variables, image,
                   settings: DecodeSettings, cls_id: int, sep_id: int,
                   gt_tokens: Optional[jnp.ndarray] = None,
                   teacher_forcing: bool = False,
-                  pixel_indices=None):
+                  pixel_indices=None, rng: Optional[jax.Array] = None):
     """Returns (output_ids [B, T], output_logprob [B, T], gt_nll [B, T]).
 
     gt_nll is the per-position CE of the ground-truth token (for ppl,
     reference: generation_decode.py:586-589); zeros when gt_tokens is None.
+
+    With ``settings.sample_mode == 'sample'`` each step draws the next token
+    from softmax(logits) instead of argmax (``jax.random.categorical`` ==
+    ``torch.multinomial`` over the softmax; reference: model.py:1209-1215)
+    and ``rng`` is required; output_logprob still carries log p(tok).
     """
     cfg = model.config
+    do_sample = settings.sample_mode == "sample"
+    if do_sample and rng is None:
+        raise ValueError("sample_mode='sample' requires an rng")
     vis = model.len_vis_input + 2
     T = settings.max_txt_length
     L = vis + T + 1
@@ -140,7 +152,11 @@ def greedy_decode(model: VLPForPreTraining, variables, image,
             vis - 1 + t, bias)
         logits = logits.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if do_sample:
+            next_tok = jax.random.categorical(
+                jax.random.fold_in(rng, t), logits, axis=-1).astype(jnp.int32)
+        else:
+            next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         tok_logp = jnp.take_along_axis(logp, next_tok[:, None],
                                        axis=-1)[:, 0]
         gt_t = gt_tokens[:, t]

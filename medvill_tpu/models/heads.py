@@ -33,7 +33,11 @@ class MLMHead(nn.Module):
                      kernel_init=nn.initializers.normal(cfg.initializer_range),
                      dtype=hidden.dtype, name="transform_dense")(hidden)
         x = jax.nn.gelu(x.astype(jnp.float32), approximate=False)
-        x = nn.LayerNorm(epsilon=1e-5, name="transform_LayerNorm")(x)
+        # LN emits the compute dtype (f32 stats internally) so the vocab
+        # gemm below runs on the MXU in bf16 — a f32 [B·L,768]x[768,V] gemm
+        # is ~8x slower and was ~10% of the pretrain step
+        x = nn.LayerNorm(epsilon=1e-5, dtype=hidden.dtype,
+                         name="transform_LayerNorm")(x)
         if relax > 1:
             # task-specific projection select (reference: model.py:441-443,
             # 480-484): transform emits relax_projection stacked projections;
@@ -46,9 +50,9 @@ class MLMHead(nn.Module):
             idx = task_idx.astype(jnp.int32)[:, None, None, None]
             x = jnp.take_along_axis(x, idx, axis=2)[:, :, 0]
         # tied decoder: logits = x @ E^T + b (reference:
-        # cxrbert_origin.py:221-238)
-        logits = jnp.einsum("blh,vh->blv", x,
-                            word_embedding.astype(jnp.float32),
+        # cxrbert_origin.py:221-238); bf16 operands, f32 accumulation/out
+        logits = jnp.einsum("blh,vh->blv", x.astype(hidden.dtype),
+                            word_embedding.astype(hidden.dtype),
                             preferred_element_type=jnp.float32)
         bias = self.param("decoder_bias", nn.initializers.zeros,
                           (cfg.vocab_size,), jnp.float32)

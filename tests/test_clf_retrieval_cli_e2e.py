@@ -101,3 +101,96 @@ def test_retrieval_cli_one_epoch(tmp_path):
     assert any("train_loss" in r for r in rows), rows
     losses = [r["train_loss"] for r in rows if "train_loss" in r]
     assert all(np.isfinite(losses)), rows
+
+
+def test_retrieval_cli_cnn_bert_branch(tmp_path):
+    """--CXRBERT false selects the late-fusion CNN_BERT baseline
+    (reference: full_dset_retrieval.py:656,549-555)."""
+    import json as json_lib
+
+    from medvill_tpu.cli import retrieval_main
+
+    rng = np.random.default_rng(5)
+    paths = _images(tmp_path, 8)
+    train = tmp_path / "ret_train.jsonl"
+    with open(train, "w") as f:
+        for i, p in enumerate(paths):
+            f.write(json_lib.dumps({
+                "id": f"t{i}", "split": "train",
+                "label": "'Normal'" if i % 2 else "'Edema'",
+                "text": " ".join(rng.choice(WORDS, 5).tolist()),
+                "img": p}) + "\n")
+    out = tmp_path / "out_cnn"
+    args = retrieval_main.build_parser().parse_args([
+        "--train_dataset", str(train), "--vocab_file", _vocab(tmp_path),
+        "--output_path", str(out), "--bert_model", "test-tiny",
+        "--vocab_size", "32", "--batch_size", "4", "--epochs", "1",
+        "--seq_len", "7", "--num_image_embeds", "3", "--img_size", "64",
+        "--do_train", "true", "--do_test", "false", "--CXRBERT", "false",
+    ])
+    retrieval_main.main(args)
+    rows = [json_lib.loads(l)
+            for l in open(os.path.join(str(out), "metrics.jsonl"))]
+    losses = [r["train_loss"] for r in rows if "train_loss" in r]
+    assert losses and all(np.isfinite(losses)), rows
+
+
+def test_retrieval_cli_loads_torch_pretrain_checkpoint(tmp_path):
+    """The published MedViLL weights are a torch CXRBERT checkpoint; the
+    retrieval CLI must load one directly (reference: retrieval.py:17-24)."""
+    import json as json_lib
+
+    import jax
+    import torch
+
+    from test_torch_full_ckpt import bert_sd, np32, trunk_sd
+
+    from medvill_tpu.cli import retrieval_main
+    from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
+                                         PretrainConfig)
+    from medvill_tpu.train.pretrain import init_state
+
+    # must mirror the CLI's model config exactly
+    pcfg = PretrainConfig(
+        seq_len=7, bert=BertConfig.from_name("test-tiny", 32),
+        image=ImageEncoderConfig(num_image_embeds=3, img_size=64))
+    _, src = init_state(pcfg, jax.random.PRNGKey(3))
+    sd = bert_sd("enc.", src.params["enc"])
+    sd.update(trunk_sd("enc.img_encoder.",
+                       src.params["enc"]["img_encoder"],
+                       src.batch_stats["enc"]["img_encoder"]))
+    sd["enc.img_embeddings.img_embeddings.weight"] = np32(
+        src.params["enc"]["img_projection"]["kernel"]).T
+    sd["enc.img_embeddings.img_embeddings.bias"] = np32(
+        src.params["enc"]["img_projection"]["bias"])
+    sd["itm.linear.weight"] = np32(src.params["itm"]["linear"]["kernel"]).T
+    sd["itm.linear.bias"] = np32(src.params["itm"]["linear"]["bias"])
+    hf_dir = tmp_path / "published"
+    hf_dir.mkdir()
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               str(hf_dir / "pytorch_model.bin"))
+
+    rng = np.random.default_rng(6)
+    paths = _images(tmp_path, 8)
+    train = tmp_path / "ret_train.jsonl"
+    with open(train, "w") as f:
+        for i, p in enumerate(paths):
+            f.write(json_lib.dumps({
+                "id": f"t{i}", "split": "train",
+                "label": "'Normal'" if i % 2 else "'Edema'",
+                "text": " ".join(rng.choice(WORDS, 5).tolist()),
+                "img": p}) + "\n")
+    out = tmp_path / "out_torchload"
+    args = retrieval_main.build_parser().parse_args([
+        "--train_dataset", str(train), "--vocab_file", _vocab(tmp_path),
+        "--output_path", str(out), "--bert_model", "test-tiny",
+        "--vocab_size", "32", "--batch_size", "4", "--epochs", "1",
+        "--seq_len", "7", "--num_image_embeds", "3", "--img_size", "64",
+        "--do_train", "true", "--do_test", "false",
+        "--load_pretrained_model", str(hf_dir),
+    ])
+    retrieval_main.main(args)
+    rows = [json_lib.loads(l)
+            for l in open(os.path.join(str(out), "metrics.jsonl"))]
+    losses = [r["train_loss"] for r in rows if "train_loss" in r]
+    assert losses and all(np.isfinite(losses)), rows

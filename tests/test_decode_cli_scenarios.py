@@ -122,3 +122,65 @@ def test_scenario_harness_artifact_set(fixture_dir, tmp_path):
     for r in results:
         assert r["best_bleu1"] >= max(seen, r["Bleu_1"]) - 1e-12
         seen = max(seen, r["best_bleu1"])
+
+
+def test_decode_recovers_torch_finetune_bin(fixture_dir, tmp_path):
+    """The reference's only published checkpoints are torch model.N.bin
+    files (generation_decode.py:377-410); the CLI must decode from one."""
+    import torch
+
+    from test_torch_full_ckpt import bert_sd, np32, trunk_sd
+
+    d, vocab_size = fixture_dir
+    cfg = FinetuneConfig(
+        bert=BertConfig.vlp(BertConfig.test_tiny(vocab_size=vocab_size)),
+        image=ImageEncoderConfig(img_size=IMG, num_image_embeds=VIS,
+                                 encoder="full-fiber"),
+        len_vis_input=VIS, max_seq_length=24, max_pred=3, img_size=IMG)
+    model = ft.build_model(cfg)
+    L = cfg.max_seq_length
+    variables = model.init(
+        {"params": jax.random.PRNGKey(5)},
+        jnp.zeros((2, IMG, IMG, 3)), jnp.zeros((2, L), jnp.int32),
+        jnp.zeros((2, L), jnp.int32), jnp.zeros((2, 1, L, L)),
+        masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
+        deterministic=True)
+    sd = bert_sd("", variables["params"]["bert"])
+    sd.update(trunk_sd("img_encoder.",
+                       variables["params"]["bert"]["img_encoder"],
+                       variables["batch_stats"]["bert"]["img_encoder"]))
+    sd["img_embeddings.img_embeddings.weight"] = np32(
+        variables["params"]["bert"]["img_projection"]["kernel"]).T
+    sd["img_embeddings.img_embeddings.bias"] = np32(
+        variables["params"]["bert"]["img_projection"]["bias"])
+    sd["cls.predictions.transform.dense.weight"] = np32(
+        variables["params"]["cls"]["transform_dense"]["kernel"]).T
+    sd["cls.predictions.transform.dense.bias"] = np32(
+        variables["params"]["cls"]["transform_dense"]["bias"])
+    sd["cls.predictions.transform.LayerNorm.weight"] = np32(
+        variables["params"]["cls"]["transform_LayerNorm"]["scale"])
+    sd["cls.predictions.transform.LayerNorm.bias"] = np32(
+        variables["params"]["cls"]["transform_LayerNorm"]["bias"])
+    sd["cls.predictions.bias"] = np32(
+        variables["params"]["cls"]["decoder_bias"])
+    bin_path = str(tmp_path / "model.0.bin")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               bin_path)
+
+    out = str(tmp_path / "out_torch")
+    args = decode_main.build_parser().parse_args([
+        "--vocab_file", os.path.join(d, "vocab.txt"),
+        "--src_file", os.path.join(d, "Test.jsonl"),
+        "--model_recover_path", bin_path,
+        "--output_dir", out,
+        "--batch_size", "2",
+        "--max_tgt_length", "4",
+        "--len_vis_input", str(VIS),
+        "--img_size", str(IMG),
+        "--max_seq_length", "24",
+        "--bert_model", "test-tiny",
+        "--vocab_size", str(vocab_size),
+    ])
+    decode_main.main(args)
+    results = json.load(open(os.path.join(out, "all_results.json")))
+    assert len(results) == 1 and np.isfinite(results[0]["Bleu_1"])

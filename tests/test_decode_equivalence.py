@@ -139,3 +139,25 @@ def test_beam_search_finite_scores(tiny_vlp):
     ids, scores = beam_search(model, variables, img, settings, 2, 3)
     assert ids.shape == (2, T)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_sampling_decode(tiny_vlp):
+    """sample_mode='sample' (reference model.py:1209-1215): deterministic
+    under a fixed rng, varies across rngs, and logprob matches the drawn
+    token's log-softmax (finite, <= 0)."""
+    cfg, model, variables, img = tiny_vlp
+    settings = DecodeSettings(max_txt_length=T, mask_word_id=4, eos_id=-1,
+                              sample_mode="sample")
+
+    run = jax.jit(lambda r: greedy_decode(
+        model, variables, img, settings, 2, 3, rng=r))
+    ids_a, logp_a, _ = run(jax.random.PRNGKey(0))
+    ids_a2, _, _ = run(jax.random.PRNGKey(0))
+    ids_b, _, _ = run(jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_a2))
+    assert not np.array_equal(np.asarray(ids_a), np.asarray(ids_b))
+    lp = np.asarray(logp_a)
+    assert np.isfinite(lp).all() and (lp <= 0).all()
+    # rng is required in sampling mode
+    with pytest.raises(ValueError):
+        greedy_decode(model, variables, img, settings, 2, 3)

@@ -165,7 +165,7 @@ def bench_finetune(batch: int = 16, iters: int = 8) -> None:
     }))
 
 
-def bench_pretrain(batch: int = 48, steps: int = 30, mode: str = "",
+def bench_pretrain(batch: int = 48, steps: int = 90, mode: str = "k30",
                    quiet: bool = False) -> float:
     """Pretrain train-step throughput (the headline metric).
 
@@ -176,6 +176,9 @@ def bench_pretrain(batch: int = 48, steps: int = 30, mode: str = "",
       k<N>                         N micro-steps per jit dispatch (default
                                    10; k1 = one dispatch per step, the
                                    pre-round-3 behavior)
+
+    Default = the measured-fastest config: batch 48, no remat, k=30
+    micro-steps/dispatch (349.0 pairs/s; k10 = 338.7, k1 ~= 314).
     """
     from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                          PretrainConfig)
@@ -193,6 +196,10 @@ def bench_pretrain(batch: int = 48, steps: int = 30, mode: str = "",
         if t.startswith("k") and t[1:].isdigit():
             k = int(t[1:])
     k = max(1, min(k, steps))
+    if not quiet:
+        print(json.dumps({"note": "pretrain config", "batch": batch,
+                          "steps": steps, "mode": mode or "default"}),
+              file=sys.stderr)
 
     cfg = PretrainConfig(
         batch_size=batch,

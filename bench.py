@@ -280,7 +280,8 @@ def bench_pretrain(batch: int = 48, steps: int = 90, mode: str = "k30",
 
 
 def bench_host(n_images: int = 16, batch: int = 48,
-               n_batches: int = 4, device_rate: float = 313.9) -> None:
+               n_batches: int = 4, device_rate: float = 349.2,
+               workers: int = 1) -> None:
     """Host input-pipeline throughput (image-text pairs/sec per host core):
     the REAL loader path — PIL 512x512 JPEG decode, wordpiece tokenization
     (native C++ when built), whole-word masking RNG, ITM negative sampling,
@@ -328,7 +329,7 @@ def bench_host(n_images: int = 16, batch: int = 48,
                for i in range(batch * n_batches)]
     cfg = PretrainConfig(batch_size=batch)  # 512 px, 180 embeds, seq 253
     ds = CXRPretrainDataset(records, tokenizer, cfg, seed=0)
-    loader = BatchLoader(ds, batch, shuffle=True, seed=0)
+    loader = BatchLoader(ds, batch, shuffle=True, seed=0, workers=workers)
     # warmup one batch (PIL lazy init etc.)
     next(iter(loader))
     t0 = time.perf_counter()
@@ -338,9 +339,10 @@ def bench_host(n_images: int = 16, batch: int = 48,
     dt = time.perf_counter() - t0
     pairs_per_sec = n / dt
     print(json.dumps({
-        "metric": "host_pipeline_pairs_per_sec_per_core",
+        "metric": "host_pipeline_pairs_per_sec",
         "value": round(pairs_per_sec, 2),
-        "unit": f"pairs/sec/host-core ({tok_kind} tokenizer, 512px JPEG)",
+        "unit": f"pairs/sec ({workers} worker thread(s), {tok_kind} "
+                "tokenizer, 512px JPEG)",
         "cores_per_chip_at_device_rate":
             round(device_rate / pairs_per_sec, 2),
         "vs_baseline": round(pairs_per_sec / device_rate, 3),
@@ -401,7 +403,8 @@ def main() -> None:
                  int(sys.argv[4]) if len(sys.argv) > 4 else 3)
         return
     if cmd == "host":
-        bench_host(batch=int(sys.argv[2]) if len(sys.argv) > 2 else 48)
+        bench_host(batch=int(sys.argv[2]) if len(sys.argv) > 2 else 48,
+                   workers=int(sys.argv[3]) if len(sys.argv) > 3 else 1)
         return
     if cmd == "all":
         # the three driver-recorded metrics (BASELINE.json names pretrain

@@ -178,7 +178,8 @@ def train(args) -> None:
     train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
                                seed=cfg.seed,
                                num_shards=jax.process_count(),
-                               shard_index=jax.process_index())
+                               shard_index=jax.process_index(),
+                               workers=cfg.num_workers)
     test_loader = None
     if cfg.test_dataset:
         test_ds = CXRPretrainDataset(cfg.test_dataset, tokenizer, cfg,

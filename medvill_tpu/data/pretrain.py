@@ -129,7 +129,8 @@ class BatchLoader:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, num_shards: int = 1, shard_index: int = 0):
+                 seed: int = 0, num_shards: int = 1, shard_index: int = 0,
+                 workers: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -137,9 +138,29 @@ class BatchLoader:
         self.epoch = 0
         self.num_shards = num_shards
         self.shard_index = shard_index
+        # workers>1 fetches the samples of each batch through a thread pool
+        # — the DataLoader(num_workers=N) equivalent (main_origin.py:52-54).
+        # The hot per-sample ops (PIL JPEG decode, the native wordpiece
+        # ctypes call) release the GIL, so threads scale without fork
+        # overhead.  Like the reference's worker processes, parallel
+        # fetching interleaves the dataset's stochastic ops
+        # nondeterministically; keep workers=1 for bit-reproducible epochs
+        # (the mode the RNG-parity tests pin down).
+        self.workers = workers
+        self._pool = None
 
     def __len__(self) -> int:
         return len(self.dataset) // (self.batch_size * self.num_shards)
+
+    def _fetch(self, idxs) -> List[Dict[str, np.ndarray]]:
+        if self.workers > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(self.workers)
+            return list(self._pool.map(
+                lambda j: self.dataset[int(j)], idxs))
+        return [self.dataset[int(j)] for j in idxs]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
@@ -151,7 +172,7 @@ class BatchLoader:
         B = self.batch_size
         for i in range(len(self)):
             idxs = order[i * B:(i + 1) * B]
-            yield collate([self.dataset[int(j)] for j in idxs])
+            yield collate(self._fetch(idxs))
 
 
 class PrefetchLoader:

@@ -139,3 +139,24 @@ def test_multi_step_composes_with_grad_accum():
         lambda a, b: float(jnp.abs(a - b).max()),
         state0.params, multi_state.params)
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_threaded_batch_loader_preserves_order():
+    """BatchLoader(workers=N): ThreadPoolExecutor.map preserves result
+    order, so on a deterministic dataset the batches are identical to
+    sequential fetching (stochastic datasets interleave RNG like the
+    reference's DataLoader workers)."""
+    from medvill_tpu.data.pretrain import BatchLoader
+
+    class FakeDS:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return {"x": np.full((3,), i, np.int32)}
+
+    seq = list(BatchLoader(FakeDS(), 4, shuffle=True, seed=7))
+    par = list(BatchLoader(FakeDS(), 4, shuffle=True, seed=7, workers=4))
+    assert len(seq) == len(par) == 4
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a["x"], b["x"])

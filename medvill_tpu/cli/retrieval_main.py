@@ -112,10 +112,26 @@ def main(args) -> None:
                            batch_stats=variables.get("batch_stats", {}),
                            opt_state=tx.init(variables["params"]))
         if cfg.pretrained_ckpt:
-            epoch = ckpt_lib.latest_epoch(cfg.pretrained_ckpt)
-            if epoch is not None:
-                state = ckpt_lib.restore(cfg.pretrained_ckpt, epoch, state)
-                logger.info("restored CNN_BERT checkpoint epoch %s", epoch)
+            from medvill_tpu.core import torch_init
+
+            if torch_init.is_torch_checkpoint(cfg.pretrained_ckpt):
+                # reference: CNN_BERT.from_pretrained(ckpt)
+                # (full_dset_retrieval.py:549-555)
+                path = cfg.pretrained_ckpt
+                if os.path.isdir(path):
+                    path = os.path.join(path, "pytorch_model.bin")
+                new_params, new_bs = torch_init.init_cnn_bert_from_torch(
+                    state.params, state.batch_stats, path)
+                state = state.replace(params=new_params, batch_stats=new_bs,
+                                      opt_state=tx.init(new_params))
+                logger.info("loaded torch CNN_BERT checkpoint %s", path)
+            else:
+                epoch = ckpt_lib.latest_epoch(cfg.pretrained_ckpt)
+                if epoch is not None:
+                    state = ckpt_lib.restore(cfg.pretrained_ckpt, epoch,
+                                             state)
+                    logger.info("restored CNN_BERT checkpoint epoch %s",
+                                epoch)
         state = replicate(mesh, state)
         make_train = retrieve.make_cnn_train_step
         make_score = lambda m, c: retrieve.make_cnn_score_step(m, c)

@@ -296,6 +296,42 @@ def init_vlp_from_torch(params: dict, batch_stats: dict,
     return params, batch_stats
 
 
+def init_cnn_bert_from_torch(params: dict, batch_stats: dict,
+                             sd_or_path: Union[str, StateDict]
+                             ) -> tuple[dict, dict]:
+    """Ingest a torch CNN_BERT checkpoint (the late-fusion retrieval
+    baseline — reference: full_dset_retrieval.py:549-555
+    ``CNN_BERT.from_pretrained``; layout CNN_BERT/main_cnn_bert.py:124-195:
+    ``txt_enc.txt_embeddings.* txt_enc.encoder.layer.* txt_enc.pooler.*
+    img_enc.model.{0,1,4..7}.* linear.*``)."""
+    sd = (load_torch_state_dict(sd_or_path) if isinstance(sd_or_path, str)
+          else dict(sd_or_path))
+    sd = _strip_module_prefix(sd)
+    params = copy.deepcopy(params)
+    batch_stats = copy.deepcopy(batch_stats)
+
+    n_layers = len(params["txt_encoder"]["encoder"])
+    bert_sd = _bert_sd_from_vendored(sd, "txt_enc.txt_embeddings",
+                                     "txt_enc.encoder", "txt_enc.pooler")
+    if not bert_sd:
+        raise ValueError("no txt_enc.* keys found — not a CNN_BERT "
+                         "checkpoint")
+    params = ckpt_lib.load_hf_bert_into_joint(params, bert_sd,
+                                              num_layers=n_layers,
+                                              enc_key="txt_encoder")
+    trunk_sd = _sequential_trunk_sd(sd, "img_enc")
+    if trunk_sd:
+        params, batch_stats = init_resnet_from_torch(
+            params, batch_stats, trunk_sd,
+            trunk_path=("img_encoder", "trunk"))
+    if "linear.weight" in sd:
+        # reference concat order cat([img_cls, txt_cls]) matches ours
+        _set_checked(params, ("fc", "kernel"),
+                     np.asarray(sd["linear.weight"]).T)
+        _set_checked(params, ("fc", "bias"), np.asarray(sd["linear.bias"]))
+    return params, batch_stats
+
+
 def is_torch_checkpoint(path: str) -> bool:
     """A path names a torch checkpoint if it is a file (orbax checkpoints
     are directories) or a directory containing ``pytorch_model.bin``

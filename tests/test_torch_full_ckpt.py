@@ -234,3 +234,38 @@ def test_torch_checkpoint_detection(tmp_path):
     assert not torch_init.is_torch_checkpoint(str(d))
     (d / "pytorch_model.bin").write_bytes(b"x")
     assert torch_init.is_torch_checkpoint(str(d))
+
+
+def test_cnn_bert_checkpoint_roundtrip():
+    """CNN_BERT late-fusion torch layout (main_cnn_bert.py:124-195;
+    loaded by full_dset_retrieval.py:549-555)."""
+    import jax.numpy as jnp
+
+    from medvill_tpu.models.cnn_bert import CNNBert
+
+    bert = BertConfig.test_tiny(vocab_size=64)
+    model = CNNBert(bert, n_classes=2)
+
+    def make_vars(seed):
+        return model.init(
+            {"params": jax.random.PRNGKey(seed)},
+            jnp.zeros((2, 9), jnp.int32), jnp.ones((2,), jnp.int32),
+            jnp.zeros((2, 9), jnp.int32), jnp.zeros((2, 64, 64, 3)))
+
+    src = make_vars(0)
+    dst = make_vars(1)
+    # bert_sd emits txt_embeddings./encoder./pooler. names; prefix for the
+    # CNN_BERT namespace
+    sd = {("txt_enc." + k): v
+          for k, v in bert_sd("", src["params"]["txt_encoder"]).items()}
+    sd.update(trunk_sd("img_enc.",
+                       src["params"]["img_encoder"]["trunk"],
+                       src["batch_stats"]["img_encoder"]["trunk"]))
+    sd["linear.weight"] = np32(src["params"]["fc"]["kernel"]).T
+    sd["linear.bias"] = np32(src["params"]["fc"]["bias"])
+
+    new_params, new_bs = torch_init.init_cnn_bert_from_torch(
+        jax.tree_util.tree_map(np32, dst["params"]),
+        jax.tree_util.tree_map(np32, dst["batch_stats"]), sd)
+    assert_trees_equal(src["params"], new_params)
+    assert_trees_equal(src["batch_stats"], new_bs)

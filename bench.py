@@ -165,7 +165,7 @@ def bench_finetune(batch: int = 16, iters: int = 8) -> None:
     }))
 
 
-def bench_pretrain(batch: int = 48, steps: int = 90, mode: str = "k30",
+def bench_pretrain(batch: int = 48, steps: int = 120, mode: str = "k60",
                    quiet: bool = False) -> float:
     """Pretrain train-step throughput (the headline metric).
 
@@ -177,8 +177,9 @@ def bench_pretrain(batch: int = 48, steps: int = 90, mode: str = "k30",
                                    10; k1 = one dispatch per step, the
                                    pre-round-3 behavior)
 
-    Default = the measured-fastest config: batch 48, no remat, k=30
-    micro-steps/dispatch (349.0 pairs/s; k10 = 338.7, k1 ~= 314).
+    Default = the measured-fastest config: batch 48, no remat, k=60
+    micro-steps/dispatch (paired A/B medians: k60 = 351.5, k30 = 349.4,
+    k10 = 338.7, k1 ~= 314).
     """
     from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                          PretrainConfig)
@@ -362,8 +363,9 @@ def bench_ab(cfg_a: str, cfg_b: str, reps: int = 3) -> None:
     (ba, ma), (bb, mb) = parse(cfg_a), parse(cfg_b)
     samples = {"a": [], "b": []}
     for r in range(reps):
-        samples["a"].append(bench_pretrain(ba, 30, ma, quiet=True))
-        samples["b"].append(bench_pretrain(bb, 30, mb, quiet=True))
+        # 120 steps regardless of k so large-k configs get >=2 dispatches
+        samples["a"].append(bench_pretrain(ba, 120, ma, quiet=True))
+        samples["b"].append(bench_pretrain(bb, 120, mb, quiet=True))
         print(json.dumps({"rep": r, "a": round(samples["a"][-1], 2),
                           "b": round(samples["b"][-1], 2)}))
     med = lambda xs: float(np.median(xs))

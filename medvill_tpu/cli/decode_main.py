@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import glob as glob_lib
+import itertools
 import json
 import math
 import os
@@ -33,6 +34,10 @@ import random
 
 import jax
 import numpy as np
+
+# advances across every sampled batch in the process (all scenarios,
+# bootstrap rounds, and recover paths) — see _decode_records
+_SAMPLE_BATCH_COUNTER = itertools.count()
 
 from medvill_tpu.core.config import (BertConfig, DecodeConfig,
                                      FinetuneConfig, ImageEncoderConfig)
@@ -135,6 +140,11 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
         ngram_size=args.ngram_size, new_segment_ids=args.new_segment_ids,
         sample_mode="sample" if getattr(args, "do_sample", False)
         else "greedy")
+    if settings.sample_mode == "sample" and args.beam_size > 1:
+        # the reference samples only in its non-beam loop (model.py:1213);
+        # fail loudly rather than silently doing deterministic beam search
+        raise ValueError("--do_sample requires --beam_size 1 "
+                         "(sampling is a greedy-loop mode, model.py:1213)")
 
     def image_loader(p):
         return image_lib.load_image(os.path.join(data_dir, p),
@@ -144,15 +154,18 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
     prep = Seq2seqDecodePreprocessor(cfg, tokenizer, args.max_tgt_length)
     B = args.batch_size
 
-    sample_rng = jax.random.PRNGKey(args.seed) \
-        if settings.sample_mode == "sample" else None
+    # per-batch subkey stream: fold a process-global batch counter into the
+    # seed key so Gumbel noise is never shared across batches, bootstrap
+    # rounds, or recover paths (the reference's torch.multinomial draws from
+    # one advancing global stream — model.py:1213); greedy mode ignores rng
+    sample_base = jax.random.PRNGKey(args.seed)
 
     @jax.jit
-    def run_greedy(image, gt):
+    def run_greedy(image, gt, rng):
         return greedy_decode(model, variables, image, settings, v["[CLS]"],
                              v["[SEP]"], gt_tokens=gt,
                              teacher_forcing=args.teacher_forcing,
-                             rng=sample_rng)
+                             rng=rng)
 
     @jax.jit
     def run_beam(image):
@@ -170,7 +183,9 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
             out_ids, _ = run_beam(image)
             out_ids = np.asarray(out_ids)
         else:
-            out_ids, _, gt_nll = run_greedy(image, gt)
+            out_ids, _, gt_nll = run_greedy(
+                image, gt, jax.random.fold_in(sample_base,
+                                              next(_SAMPLE_BATCH_COUNTER)))
             out_ids = np.asarray(out_ids)
             gt_np = np.asarray(gt)
             mask = gt_np != 0

@@ -200,7 +200,8 @@ def train(args) -> None:
         tx = optim.masked_trainable(
             tx, lambda p: resnet_lib.cnn_freeze_mask(
                 p, ("enc", "img_encoder")))
-        if not getattr(args, "resnet_init_path", None):
+        trunk_from_ckpt = (cfg.weight_load and cfg.pre_trained_model_path)
+        if not getattr(args, "resnet_init_path", None) and not trunk_from_ckpt:
             # reference always freezes an ImageNet-pretrained trunk
             # (torchvision resnet50(pretrained=True), image.py:50); freezing
             # a random trunk trains against fixed random conv features
@@ -254,15 +255,22 @@ def train(args) -> None:
     rng = jax.random.PRNGKey(cfg.seed)
 
     def grouped(loader, k):
-        """Stack groups of k host batches into [k, B, ...] leaves; the
-        (at most k-1) tail batches of an epoch are dropped to keep shapes
-        static."""
+        """Stack groups of k host batches into ([k, B, ...] leaves, True);
+        the (at most k-1) tail batches of an epoch are yielded individually
+        as ([B, ...], False) so short epochs (len(loader) < k) and epoch
+        tails still train — via the single-step path — instead of being
+        silently dropped."""
         buf = []
         for b in loader:
             buf.append(b)
             if len(buf) == k:
-                yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *buf)
+                yield (jax.tree_util.tree_map(lambda *xs: np.stack(xs),
+                                              *buf), True)
                 buf = []
+        for b in buf:
+            yield (b, False)
+
+    single_step = None  # compiled lazily, only if an epoch tail occurs
 
     for epoch in range(cfg.epochs):
         t0 = time.time()
@@ -270,16 +278,27 @@ def train(args) -> None:
         if k_disp > 1:
             prefetched = PrefetchLoader(
                 grouped(train_loader, k_disp), depth=2,
-                place_fn=lambda b: shard_stacked_batch(mesh, b))
+                place_fn=lambda bg: (shard_stacked_batch(mesh, bg[0])
+                                     if bg[1] else shard_batch(mesh, bg[0]),
+                                     bg[1]))
         else:
             prefetched = PrefetchLoader(
                 train_loader, depth=2,
-                place_fn=lambda b: shard_batch(mesh, b))
+                place_fn=lambda b: (shard_batch(mesh, b), False))
         profiling = (args.profile_dir and epoch == 0)
-        for i, batch in enumerate(prefetched):
+        for i, (batch, is_group) in enumerate(prefetched):
             if profiling and i == 2:
                 jax.profiler.start_trace(args.profile_dir)
-            state, m = train_step(state, batch, rng)
+            if k_disp > 1 and is_group:
+                step_fn = train_step
+            elif k_disp > 1:
+                if single_step is None:
+                    single_step = jax.jit(make_train_step(model, tx, cfg),
+                                          donate_argnums=(0,))
+                step_fn = single_step
+            else:
+                step_fn = train_step
+            state, m = step_fn(state, batch, rng)
             if profiling and i == 4:
                 jax.block_until_ready(m["loss"])
                 jax.profiler.stop_trace()

@@ -114,29 +114,15 @@ def main(args) -> None:
         if cfg.pretrained_ckpt:
             from medvill_tpu.core import torch_init
 
-            if torch_init.is_torch_checkpoint(cfg.pretrained_ckpt):
-                # reference: CNN_BERT.from_pretrained(ckpt)
-                # (full_dset_retrieval.py:549-555)
-                path = cfg.pretrained_ckpt
-                if os.path.isdir(path):
-                    path = os.path.join(path, "pytorch_model.bin")
-                new_params, new_bs = torch_init.init_cnn_bert_from_torch(
-                    state.params, state.batch_stats, path)
-                state = state.replace(params=new_params, batch_stats=new_bs,
-                                      opt_state=tx.init(new_params))
-                logger.info("loaded torch CNN_BERT checkpoint %s", path)
-            else:
-                epoch = ckpt_lib.latest_epoch(cfg.pretrained_ckpt)
-                if epoch is not None:
-                    state = ckpt_lib.restore(cfg.pretrained_ckpt, epoch,
-                                             state)
-                    logger.info("restored CNN_BERT checkpoint epoch %s",
-                                epoch)
+            # reference: CNN_BERT.from_pretrained(ckpt)
+            # (full_dset_retrieval.py:549-555)
+            state = ckpt_lib.restore_pretrained(
+                state, tx, cfg.pretrained_ckpt,
+                torch_init.init_cnn_bert_from_torch, logger, "CNN_BERT")
         state = replicate(mesh, state)
-        make_train = retrieve.make_cnn_train_step
-        make_score = lambda m, c: retrieve.make_cnn_score_step(m, c)
         run_retrieval(args, cfg, mesh, model, tx, state, tokenizer,
-                      make_train, make_score, logger, metrics_log)
+                      retrieve.make_cnn_train_step,
+                      retrieve.make_cnn_score_step, logger, metrics_log)
         metrics_log.finish()
         return
 
@@ -155,22 +141,11 @@ def main(args) -> None:
     if cfg.pretrained_ckpt:
         from medvill_tpu.core import torch_init
 
-        if torch_init.is_torch_checkpoint(cfg.pretrained_ckpt):
-            # the published MedViLL weights are a torch CXRBERT checkpoint
-            # (reference: retrieval.py:17-24 CXRBERT.from_pretrained)
-            path = cfg.pretrained_ckpt
-            if os.path.isdir(path):
-                path = os.path.join(path, "pytorch_model.bin")
-            new_params, new_bs = torch_init.init_cxrbert_from_torch(
-                state.params, state.batch_stats, path)
-            state = state.replace(params=new_params, batch_stats=new_bs,
-                                  opt_state=tx.init(new_params))
-            logger.info("loaded torch pretrain checkpoint %s", path)
-        else:
-            epoch = ckpt_lib.latest_epoch(cfg.pretrained_ckpt)
-            if epoch is not None:
-                state = ckpt_lib.restore(cfg.pretrained_ckpt, epoch, state)
-                logger.info("restored pretrain checkpoint epoch %s", epoch)
+        # the published MedViLL weights are a torch CXRBERT checkpoint
+        # (reference: retrieval.py:17-24 CXRBERT.from_pretrained)
+        state = ckpt_lib.restore_pretrained(
+            state, tx, cfg.pretrained_ckpt,
+            torch_init.init_cxrbert_from_torch, logger, "pretrain")
     state = replicate(mesh, state)
     run_retrieval(args, cfg, mesh, model, tx, state, tokenizer,
                   retrieve.make_train_step, retrieve.make_score_step,

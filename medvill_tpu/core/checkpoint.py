@@ -93,6 +93,32 @@ def restore(directory: str, epoch: int | str, target: Any,
     return full
 
 
+def restore_pretrained(state, tx, path: str, torch_loader, logger,
+                       what: str = "pretrained"):
+    """Torch-vs-orbax dispatch for a ``--pretrained_ckpt``-style path,
+    shared by the CLI entry points: a torch checkpoint (a ``.bin`` file, or
+    a dir containing ``pytorch_model.bin`` — the HF ``from_pretrained``
+    layout the published MedViLL weights use, reference retrieval.py:17-24)
+    goes through ``torch_loader(params, batch_stats, file)``; anything else
+    is an orbax run dir restored at its latest epoch."""
+    from medvill_tpu.core import torch_init
+
+    if torch_init.is_torch_checkpoint(path):
+        p = path
+        if os.path.isdir(p):
+            p = os.path.join(p, "pytorch_model.bin")
+        new_params, new_bs = torch_loader(state.params, state.batch_stats, p)
+        state = state.replace(params=new_params, batch_stats=new_bs,
+                              opt_state=tx.init(new_params))
+        logger.info("loaded torch %s checkpoint %s", what, p)
+    else:
+        epoch = latest_epoch(path)
+        if epoch is not None:
+            state = restore(path, epoch, state)
+            logger.info("restored %s checkpoint epoch %s", what, epoch)
+    return state
+
+
 def latest_epoch(directory: str) -> Optional[int]:
     """Resume-by-scan: the largest epoch with a complete checkpoint
     (reference: finetune.py:37-47 scans model.*.bin ∩ optim.*.bin)."""

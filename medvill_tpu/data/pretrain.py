@@ -60,7 +60,15 @@ class CXRPretrainDataset:
         return len(self.data)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        rng = self.rng
+        return self.fetch(idx)
+
+    def fetch(self, idx: int,
+              rng: Optional[random.Random] = None) -> Dict[str, np.ndarray]:
+        """Like ``__getitem__`` but with an optional per-sample RNG override
+        (used by ``BatchLoader(workers>1)`` so parallel fetches stay
+        deterministic; ``None`` draws from the shared sequential stream —
+        the mode the RNG-parity tests pin down)."""
+        rng = rng or self.rng
         origin_txt, img_path, is_aligned, _itm_prob = random_pair_sampling(
             idx, self.data, rng)
         image = self.image_loader(img_path)
@@ -142,10 +150,12 @@ class BatchLoader:
         # — the DataLoader(num_workers=N) equivalent (main_origin.py:52-54).
         # The hot per-sample ops (PIL JPEG decode, the native wordpiece
         # ctypes call) release the GIL, so threads scale without fork
-        # overhead.  Like the reference's worker processes, parallel
-        # fetching interleaves the dataset's stochastic ops
-        # nondeterministically; keep workers=1 for bit-reproducible epochs
-        # (the mode the RNG-parity tests pin down).
+        # overhead.  Stochastic datasets expose ``fetch(idx, rng)``; with
+        # workers>1 each sample gets an RNG derived from (seed, epoch, idx),
+        # so epochs are bit-reproducible for ANY worker count (stronger than
+        # the reference's per-worker DataLoader seeding, whose stream depends
+        # on num_workers).  workers=1 draws from the dataset's shared
+        # sequential stream — the mode the RNG-parity tests pin down.
         self.workers = workers
         self._pool = None
 
@@ -158,6 +168,15 @@ class BatchLoader:
                 from concurrent.futures import ThreadPoolExecutor
 
                 self._pool = ThreadPoolExecutor(self.workers)
+            fetch = getattr(self.dataset, "fetch", None)
+            if fetch is not None:
+                # per-sample derived RNG: deterministic under any thread
+                # scheduling / worker count (str seeds hash via sha512,
+                # stable across processes)
+                epoch = self.epoch
+                return list(self._pool.map(
+                    lambda j: fetch(int(j), random.Random(
+                        f"{self.seed}/{epoch}/{int(j)}")), idxs))
             return list(self._pool.map(
                 lambda j: self.dataset[int(j)], idxs))
         return [self.dataset[int(j)] for j in idxs]

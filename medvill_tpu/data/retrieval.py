@@ -92,31 +92,37 @@ class CXRRetrievalDataset:
             sep_tok=np.array([v["[SEP]"]], np.int32),
         )
 
-    def _random_other(self, idx: int):
+    def _random_other(self, idx: int, rng: random.Random):
         """(full_dset_retrieval.py:164-170: uniform over all-but-idx)."""
-        j = self.rng.randrange(len(self.data) - 1)
+        j = rng.randrange(len(self.data) - 1)
         if j >= idx:
             j += 1
         d = self.data[j]
         return d["label"], d["text"], d["img"]
 
     def __getitem__(self, idx: int):
+        return self.fetch(idx)
+
+    def fetch(self, idx: int, rng: Optional[random.Random] = None):
+        """``__getitem__`` with an optional per-sample RNG override (see
+        ``BatchLoader(workers>1)``)."""
+        rng = rng or self.rng
         d = self.data[idx]
         if self.is_train:
             d_label, d_txt, d_img = d["label"], d["text"], d["img"]
             neg_txt, neg_img = d_txt, d_img
             if self.label_conditioned:
                 for _ in range(300):
-                    r_label, r_txt, r_img = self._random_other(idx)
+                    r_label, r_txt, r_img = self._random_other(idx, rng)
                     if not labels_match(d_label, r_label):
-                        if self.rng.random() > 0.5:
+                        if rng.random() > 0.5:
                             neg_img, neg_txt = r_img, d_txt
                         else:
                             neg_img, neg_txt = d_img, r_txt
                         break
             else:
-                r_label, r_txt, r_img = self._random_other(idx)
-                if self.rng.random() > 0.5:
+                r_label, r_txt, r_img = self._random_other(idx, rng)
+                if rng.random() > 0.5:
                     neg_img, neg_txt = r_img, d_txt
                 else:
                     neg_img, neg_txt = d_img, r_txt

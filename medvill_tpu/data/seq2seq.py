@@ -46,10 +46,11 @@ class Seq2seqPreprocessor:
         self.task_idx = 3 if mode == "s2s" else 0
         self.max_len = cfg.max_seq_length
 
-    def __call__(self, tokens_b: List[str]) -> Dict[str, np.ndarray]:
+    def __call__(self, tokens_b: List[str],
+                 rng: Optional[random.Random] = None) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         v = self.tokenizer.vocab
-        rng = self.rng
+        rng = rng or self.rng
         len_vis = cfg.len_vis_input
         tokens_a = ["[UNK]"] * len_vis
         tokens_b = list(tokens_b)
@@ -145,12 +146,19 @@ class Img2TxtDataset:
         return len(self.data)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        return self.fetch(idx)
+
+    def fetch(self, idx: int,
+              rng: Optional[random.Random] = None) -> Dict[str, np.ndarray]:
+        """``__getitem__`` with an optional per-sample RNG override (see
+        ``BatchLoader(workers>1)``)."""
         rec = self.data[idx]
         text = rec["text"]
         tokens_b = (text if self.pretokenized
                     else self.tokenizer.tokenize(text))
-        proc = self.rng.choices(self.pipelines, weights=self.probs)[0]
-        out = proc(tokens_b)
+        proc = (rng or self.rng).choices(self.pipelines,
+                                         weights=self.probs)[0]
+        out = proc(tokens_b, rng=rng)
         out["image"] = self.image_loader(rec["img"]).astype(np.float32)
         return out
 

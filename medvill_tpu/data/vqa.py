@@ -110,11 +110,18 @@ class VQADataset:
         return len(self.entries)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        return self.fetch(idx)
+
+    def fetch(self, idx: int,
+              rng: Optional[random.Random] = None) -> Dict[str, np.ndarray]:
+        """``__getitem__`` with an optional per-sample RNG override (see
+        ``BatchLoader(workers>1)``)."""
         e = self.entries[idx]
         q_tokens = self.tokenizer.tokenize(
             preprocess_question(e["question"]))
-        proc = self.rng.choices(self.pipelines, weights=self.probs)[0]
-        out = proc(q_tokens)
+        proc = (rng or self.rng).choices(self.pipelines,
+                                         weights=self.probs)[0]
+        out = proc(q_tokens, rng=rng)
         out["image"] = self.image_loader(e["image_name"]).astype(np.float32)
         out["ans_target"] = soft_target(e.get("answer"),
                                         self.cfg.vqa_num_answers)

@@ -124,6 +124,25 @@ def test_scenario_harness_artifact_set(fixture_dir, tmp_path):
         seen = max(seen, r["best_bleu1"])
 
 
+def test_sample_plus_beam_rejected(fixture_dir):
+    """--do_sample with --beam_size>1 must fail loudly: the reference
+    samples only in its non-beam loop (model.py:1213), so silently running
+    deterministic beam search would misattribute the results."""
+    d, vocab_size = fixture_dir
+    from medvill_tpu.data.tokenization import BertTokenizer
+
+    args = decode_main.build_parser().parse_args([
+        "--vocab_file", os.path.join(d, "vocab.txt"),
+        "--src_file", os.path.join(d, "Test.jsonl"),
+        "--beam_size", "2", "--do_sample", "true",
+        "--bert_model", "test-tiny", "--vocab_size", str(vocab_size),
+    ])
+    tok = BertTokenizer.from_vocab_file(os.path.join(d, "vocab.txt"))
+    with pytest.raises(ValueError, match="do_sample"):
+        decode_main._decode_records(args, None, None, None, tok, [], d,
+                                    None)
+
+
 def test_decode_recovers_torch_finetune_bin(fixture_dir, tmp_path):
     """The reference's only published checkpoints are torch model.N.bin
     files (generation_decode.py:377-410); the CLI must decode from one."""

@@ -70,3 +70,26 @@ def test_pretrain_cli_one_epoch(tmp_path):
               if isinstance(v, (int, float)) and "loss" in k]
     assert finite and all(np.isfinite(finite)), rows
     assert os.path.exists(os.path.join(str(out), "train.log"))
+
+
+def test_pretrain_cli_short_epoch_multi_dispatch(tmp_path):
+    """An epoch with fewer batches than --steps_per_dispatch must still
+    train (the tail batches flow through the single-step path) instead of
+    silently dropping the whole epoch."""
+    from medvill_tpu.cli import pretrain_main
+
+    train, vocab = _write_dataset(tmp_path)  # 8 records -> 1 batch/epoch
+    out = tmp_path / "out"
+    args = pretrain_main.build_parser().parse_args([
+        "--train_dataset", train, "--vocab_file", vocab,
+        "--output_path", str(out), "--bert_model", "test-tiny",
+        "--vocab_size", "32", "--epochs", "1", "--batch_size", "8",
+        "--num_image_embeds", "3", "--img_size", "64", "--seq_len", "7",
+        "--gradient_accumulation_steps", "1", "--num_workers", "2",
+        "--steps_per_dispatch", "4",
+    ])
+    pretrain_main.train(args)
+    rows = [json.loads(l)
+            for l in open(os.path.join(str(out), "metrics.jsonl"))]
+    losses = [v for r in rows for k, v in r.items() if k == "avg_loss"]
+    assert losses and all(np.isfinite(losses)), rows

@@ -184,10 +184,36 @@ def load_hf_bert_into_joint(params: dict, hf_state_dict: Dict[str, Any],
     rows = min(src_tt.shape[0], dst_tt.shape[0])
     dst_tt[:rows] = src_tt[:rows]
     imported["embeddings"]["token_type_embeddings"]["embedding"] = dst_tt
+    if "qkv" in enc["encoder"]["layer_0"]["self"]:
+        # target model runs fused QKV (BertConfig.fused_qkv): fold the
+        # torch query/key/value linears into the single [H, 3H] parameter
+        imported["encoder"] = fuse_qkv_encoder(imported["encoder"])
     enc["embeddings"] = imported["embeddings"]
     enc["encoder"] = imported["encoder"]
     if "pooler" in imported and "pooler" in enc:
         enc["pooler"] = imported["pooler"]
+    return out
+
+
+def fuse_qkv_encoder(encoder: dict) -> dict:
+    """Rewrite each layer's ``self/{query,key,value}`` linears into the
+    fused ``self/qkv`` layout (kernels concatenated on the output axis —
+    columns [0:H]=q, [H:2H]=k, [2H:3H]=v, matching
+    models/bert.py::BertSelfAttention.project)."""
+    out = {}
+    for name, layer in encoder.items():
+        layer = dict(layer)
+        s = layer["self"]
+        if "qkv" not in s:
+            layer["self"] = {"qkv": {
+                "kernel": np.concatenate(
+                    [np.asarray(s[m]["kernel"])
+                     for m in ("query", "key", "value")], axis=1),
+                "bias": np.concatenate(
+                    [np.asarray(s[m]["bias"])
+                     for m in ("query", "key", "value")]),
+            }}
+        out[name] = layer
     return out
 
 

@@ -49,7 +49,29 @@ def build_parser():
     p.add_argument("--vocab_file", type=str, required=True)
     p.add_argument("--savedir", type=str, default="output_clf")
     p.add_argument("--loaddir", type=str, default="")
-    p.add_argument("--save_name", type=str, default="clf")
+    p.add_argument("--save_name", "--name", dest="save_name", type=str,
+                   default="clf",
+                   help="run name (reference --name, mmbt/main.py:45)")
+    p.add_argument("--model", type=str, default="mmbt", choices=["mmbt"],
+                   help="model registry key (the reference registry contains "
+                        "only 'mmbt'; mmbt/models/__init__.py:4-6)")
+    p.add_argument("--task_type", type=str, default="multilabel",
+                   choices=["multilabel", "classification"],
+                   help="multilabel: weighted BCE + AUROC/F1; "
+                        "classification: softmax CE + accuracy "
+                        "(reference mmbt/main.py:30)")
+    p.add_argument("--freeze_img_all", type=str2bool, default=True,
+                   help="False freezes the image encoder for the whole run "
+                        "(the reference assigns this to requires_grad, "
+                        "mmbt/main.py:204-206 — note the inversion; its "
+                        "string-typed default never freezes)")
+    p.add_argument("--freeze_txt_all", type=str2bool, default=True,
+                   help="False freezes the text encoder for the whole run "
+                        "(mmbt/main.py:208-209)")
+    p.add_argument("--n_workers", type=int, default=1,
+                   help="loader worker threads (reference --n_workers, "
+                        "torch DataLoader num_workers; <=1 is the "
+                        "deterministic shared-RNG-stream mode)")
     p.add_argument("--openi", type=str2bool, default=False)
     p.add_argument("--batch_sz", type=int, default=56)
     p.add_argument("--max_epochs", type=int, default=10)
@@ -99,8 +121,14 @@ def train(args) -> None:
     valid_path = os.path.join(args.data_path, args.Valid_dset_name)
     labels, freqs = get_labels_and_frequencies(train_path)
     bert = BertConfig.from_name(args.bert_model, args.vocab_size)
+    # reference freeze-all semantics: requires_grad = args.freeze_img_all,
+    # i.e. False means FROZEN for the whole run (mmbt/main.py:204-209)
+    if not getattr(args, "freeze_img_all", True):
+        args.freeze_img = args.max_epochs
+    if not getattr(args, "freeze_txt_all", True):
+        args.freeze_txt = args.max_epochs
     cfg = ClassificationConfig(
-        bert=bert,
+        bert=bert, task_type=getattr(args, "task_type", "multilabel"),
         data_path=args.data_path, batch_size=args.batch_sz,
         max_epochs=args.max_epochs, lr=args.lr, lr_factor=args.lr_factor,
         lr_patience=args.lr_patience, patience=args.patience,
@@ -121,16 +149,22 @@ def train(args) -> None:
     train_ds = ClassificationDataset(
         train_path, tokenizer, labels, cfg.max_seq_len,
         cfg.num_image_embeds, cfg.img_size,
-        drop_img_percent=args.drop_img_percent, openi=args.openi)
+        drop_img_percent=args.drop_img_percent, openi=args.openi,
+        task_type=cfg.task_type)
     valid_ds = ClassificationDataset(
         valid_path, tokenizer, labels, cfg.max_seq_len,
-        cfg.num_image_embeds, cfg.img_size, openi=args.openi)
+        cfg.num_image_embeds, cfg.img_size, openi=args.openi,
+        task_type=cfg.task_type)
+    workers = getattr(args, "n_workers", 0)
     train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
-                               seed=cfg.seed)
-    valid_loader = BatchLoader(valid_ds, cfg.batch_size, shuffle=False)
+                               seed=cfg.seed, workers=workers)
+    valid_loader = BatchLoader(valid_ds, cfg.batch_size, shuffle=False,
+                               workers=workers)
 
+    # pos_weight applies to the multilabel BCE only (reference
+    # mmbt/main.py:92-103: CrossEntropyLoss takes no weights)
     pw = (pos_weights(freqs, labels, len(train_ds))
-          if cfg.weight_classes else None)
+          if cfg.weight_classes and cfg.task_type == "multilabel" else None)
     t_total = max(1, int(len(train_ds) / cfg.batch_size
                          / cfg.gradient_accumulation_steps * cfg.max_epochs))
 
@@ -191,13 +225,17 @@ def train(args) -> None:
                                      jax.random.PRNGKey(cfg.seed),
                                      jnp.asarray(lr_scale))
             losses.append(float(loss))
-        metrics, _, _ = classify.evaluate(eval_step, state, valid_loader)
+        metrics, _, _ = classify.evaluate(eval_step, state, valid_loader,
+                                          task_type=cfg.task_type)
         metrics["train_loss"] = float(np.mean(losses))
         metrics_log.log({k: v for k, v in metrics.items()
                          if not isinstance(v, dict)}, step=epoch)
         logger.info("epoch %d: %s", epoch, metrics)
 
-        tuning = metrics["micro_f1"]
+        # model-selection metric: micro_f1 for multilabel, acc otherwise
+        # (reference mmbt/main.py:287)
+        tuning = (metrics["micro_f1"] if cfg.task_type == "multilabel"
+                  else metrics["acc"])
         lr_scale = sched.step(tuning)
         improved = tuning > best_metric
         if improved:
@@ -205,16 +243,22 @@ def train(args) -> None:
         else:
             n_no_improve += 1
 
-        # CSV dump (reference: mmbt/main.py:307-317)
+        # CSV dump (reference: mmbt/main.py:307-317; AUROC columns exist in
+        # the multilabel protocol only)
         with open(os.path.join(savedir, f"{args.save_name}.csv"), "w",
                   newline="") as f:
             w = csv.writer(f)
-            per_class = metrics["per_class_auroc"]
-            w.writerow(["micro_auc", "macro_auc", "micro_f1", "macro_f1"]
-                       + list(per_class.keys()))
-            w.writerow([metrics["micro_roc_auc"], metrics["macro_roc_auc"],
-                        metrics["micro_f1"], metrics["macro_f1"]]
-                       + list(per_class.values()))
+            if cfg.task_type == "multilabel":
+                per_class = metrics["per_class_auroc"]
+                w.writerow(["micro_auc", "macro_auc", "micro_f1", "macro_f1"]
+                           + list(per_class.keys()))
+                w.writerow([metrics["micro_roc_auc"],
+                            metrics["macro_roc_auc"],
+                            metrics["micro_f1"], metrics["macro_f1"]]
+                           + list(per_class.values()))
+            else:
+                w.writerow(["acc"])
+                w.writerow([metrics["acc"]])
         ckpt_lib.save(savedir, epoch, jax.device_get(state),
                       config=vars(args), best=improved)
         if n_no_improve >= cfg.patience:
@@ -229,9 +273,11 @@ def train(args) -> None:
             logger.info("loaded best checkpoint for test")
         test_ds = ClassificationDataset(
             test_path, tokenizer, labels, cfg.max_seq_len,
-            cfg.num_image_embeds, cfg.img_size, openi=args.openi)
+            cfg.num_image_embeds, cfg.img_size, openi=args.openi,
+            task_type=cfg.task_type)
         test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False)
-        metrics, _, _ = classify.evaluate(eval_step, state, test_loader)
+        metrics, _, _ = classify.evaluate(eval_step, state, test_loader,
+                                          task_type=cfg.task_type)
         logger.info("test: %s", metrics)
         metrics_log.log({k: v for k, v in metrics.items()
                          if not isinstance(v, dict)})

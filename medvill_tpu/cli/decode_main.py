@@ -81,14 +81,31 @@ def build_parser():
     p.add_argument("--length_penalty", type=float, default=0.0)
     p.add_argument("--forbid_duplicate_ngrams", type=str2bool, default=False)
     p.add_argument("--ngram_size", type=int, default=3)
-    p.add_argument("--max_tgt_length", type=int, default=128)
+    p.add_argument("--max_txt_length", "--max_tgt_length",
+                   dest="max_txt_length", type=int, default=128,
+                   help="generated-report token budget (reference "
+                        "--max_txt_length, generation_decode.py:299)")
+    p.add_argument("--min_len", type=int, default=0,
+                   help="forbid [SEP] for the first min_len generated "
+                        "positions (reference model.py:1291)")
+    p.add_argument("--forbid_ignore_word", type=str, default=None,
+                   help="'|'-separated words whose ids are exempt from "
+                        "duplicate-ngram forbidding; [x] forms are "
+                        "uppercased (generation_decode.py:351-358)")
     p.add_argument("--len_vis_input", type=int, default=256)
     p.add_argument("--img_size", type=int, default=512)
-    p.add_argument("--max_seq_length", type=int, default=512)
+    p.add_argument("--max_seq_length", type=int, default=None,
+                   help="default: max_txt_length + len_vis_input + 3 "
+                        "(reference generation_decode.py:328)")
     p.add_argument("--new_segment_ids", type=str2bool, default=True)
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--bert_model", type=str, default="bert-base-scratch")
     p.add_argument("--vocab_size", type=int, default=30522)
+    p.add_argument("--config_path", type=str, default=None,
+                   help="reference-style config.json overlaying the BERT "
+                        "config (written next to every torch checkpoint; "
+                        "reference generation_decode.py:361)")
+    p.add_argument("--max_position_embeddings", type=int, default=512)
     p.add_argument("--relax_projection", action="store_true",
                    help="decode a checkpoint finetuned with 4 task-specific "
                         "MLM-head projections (reference: finetune.py:307)")
@@ -108,6 +125,18 @@ def build_parser():
                         "(generation_decode.py:423); off by default so a "
                         "plain run scores the true test set")
     return p
+
+
+def forbid_ignore_ids_from_words(word_str, vocab) -> tuple:
+    """'|'-separated words -> sorted vocab-id tuple for the ngram-forbid
+    ignore set; '[x]' forms are uppercased and unknown tokens map to [UNK]
+    (reference: generation_decode.py:351-358)."""
+    if not word_str:
+        return ()
+    w_list = [w.upper() if w.startswith("[") and w.endswith("]") else w
+              for w in word_str.split("|")]
+    return tuple(sorted({vocab.get(w, vocab.get("[UNK]", 0))
+                         for w in w_list}))
 
 
 class _Best:
@@ -132,12 +161,16 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
     import jax.numpy as jnp
 
     v = tokenizer.vocab
+    forbid_ignore_ids = forbid_ignore_ids_from_words(
+        getattr(args, "forbid_ignore_word", None), v)
     settings = DecodeSettings(
-        max_txt_length=args.max_tgt_length, mask_word_id=v["[MASK]"],
+        max_txt_length=args.max_txt_length, mask_word_id=v["[MASK]"],
         eos_id=v["[SEP]"], beam_size=args.beam_size,
         length_penalty=args.length_penalty,
         forbid_duplicate_ngrams=args.forbid_duplicate_ngrams,
         ngram_size=args.ngram_size, new_segment_ids=args.new_segment_ids,
+        min_len=int(getattr(args, "min_len", 0) or 0),
+        forbid_ignore_ids=forbid_ignore_ids,
         sample_mode="sample" if getattr(args, "do_sample", False)
         else "greedy")
     if settings.sample_mode == "sample" and args.beam_size > 1:
@@ -151,7 +184,7 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
                                     args.img_size, grayscale_to_rgb=True,
                                     do_resize=(args.len_vis_input < 100))
 
-    prep = Seq2seqDecodePreprocessor(cfg, tokenizer, args.max_tgt_length)
+    prep = Seq2seqDecodePreprocessor(cfg, tokenizer, args.max_txt_length)
     B = args.batch_size
 
     # per-batch subkey stream: fold a process-global batch counter into the
@@ -221,6 +254,16 @@ def run_one(args, logger, metrics_log, best: _Best,
     if getattr(args, "relax_projection", False):
         import dataclasses
         bert = dataclasses.replace(bert, relax_projection=4)
+    if getattr(args, "config_path", None):
+        bert = BertConfig.from_reference_json(args.config_path, base=bert)
+    if getattr(args, "max_position_embeddings", 0) not in (0, None, 512):
+        import dataclasses
+        bert = dataclasses.replace(
+            bert, max_position_embeddings=args.max_position_embeddings)
+    if args.max_seq_length is None:
+        # reference: max_seq_length = max_txt_length + len_vis_input + 3
+        # (2x[SEP] + [CLS], generation_decode.py:328)
+        args.max_seq_length = args.max_txt_length + args.len_vis_input + 3
     cfg = FinetuneConfig(
         max_seq_length=args.max_seq_length,
         len_vis_input=args.len_vis_input, img_size=args.img_size,

@@ -59,7 +59,48 @@ def build_parser():
     p.add_argument("--warmup_proportion", type=float, default=0.1)
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--label_smoothing", type=float, default=0.1)
-    p.add_argument("--drop_prob", type=float, default=0.1)
+    p.add_argument("--drop_prob", type=float, default=0.1,
+                   help="model dropout override — sets BOTH attention and "
+                        "hidden dropout (reference model.py:620-623)")
+    p.add_argument("--max_drop_worst_ratio", type=float, default=0.0,
+                   help="Ruotian-Luo drop-worst ratio (reference "
+                        "finetune.py:179; 0 = off, the reference default)")
+    p.add_argument("--drop_after", type=int, default=6,
+                   help="drop-worst activates when the 1-based epoch "
+                        "exceeds this (reference finetune.py:180,440)")
+    p.add_argument("--trunc_seg", type=str, default="b",
+                   choices=["a", "b", ""],
+                   help="segment to truncate when neither cap is exceeded "
+                        "(reference finetune.py:158)")
+    p.add_argument("--always_truncate_tail", action="store_true",
+                   help="always pop the tail instead of 50%% head/tail "
+                        "(reference finetune.py:160)")
+    p.add_argument("--sche_mode", type=str, default="warmup_linear",
+                   choices=["warmup_linear", "warmup_constant",
+                            "warmup_cosine"],
+                   help="BertAdam LR schedule (reference finetune.py:175)")
+    p.add_argument("--from_scratch", action="store_true",
+                   help="ignore --bert_init_path/--model_recover_path and "
+                        "train from random init (reference finetune.py:314)")
+    p.add_argument("--do_train", type=str2bool, default=True,
+                   help="False skips training (eval-only with --vqa_eval; "
+                        "reference finetune.py:101,260,410)")
+    p.add_argument("--data_set", type=str, default="train",
+                   choices=["train", "valid"],
+                   help="'valid' loads --file_valid_jpgs instead of "
+                        "--src_file (reference data_loader.py:217-224)")
+    p.add_argument("--file_valid_jpgs", type=str, default=None)
+    p.add_argument("--config_path", type=str, default=None,
+                   help="reference-style config.json overlaying the BERT "
+                        "config (written next to torch checkpoints; "
+                        "reference finetune.py:319)")
+    p.add_argument("--max_position_embeddings", type=int, default=512)
+    p.add_argument("--num_workers", type=int, default=1,
+                   help="loader worker threads (reference DataLoader "
+                        "num_workers, finetune.py:284-286)")
+    p.add_argument("--log_file", type=str, default="training.log",
+                   help="log filename under output_dir (reference "
+                        "--log_file, finetune.py:223)")
     p.add_argument("--max_pred", type=int, default=128)
     p.add_argument("--mask_prob", type=float, default=0.15)
     p.add_argument("--len_vis_input", type=int, default=256)
@@ -100,6 +141,17 @@ def config_from_args(args) -> FinetuneConfig:
         # reference: relax_projection = 4 if args.relax_projection else 0
         # (finetune.py:307)
         bert = dataclasses.replace(bert, relax_projection=4)
+    if getattr(args, "config_path", None):
+        bert = BertConfig.from_reference_json(args.config_path, base=bert)
+    # --drop_prob sets both dropout rates (reference model.py:620-623)
+    bert = dataclasses.replace(
+        bert, hidden_dropout_prob=args.drop_prob,
+        attention_probs_dropout_prob=args.drop_prob)
+    # --max_position_embeddings is a from_pretrained override
+    # (finetune.py:320); a non-default value wins over config.json
+    mpe = getattr(args, "max_position_embeddings", 512)
+    if mpe not in (None, 512):
+        bert = dataclasses.replace(bert, max_position_embeddings=mpe)
     return FinetuneConfig(
         task=args.tasks, src_file=args.src_file,
         output_dir=args.output_dir,
@@ -108,6 +160,11 @@ def config_from_args(args) -> FinetuneConfig:
         lr=args.learning_rate, warmup=args.warmup_proportion,
         weight_decay=args.weight_decay,
         label_smoothing=args.label_smoothing, drop_prob=args.drop_prob,
+        max_drop_worst_ratio=getattr(args, "max_drop_worst_ratio", 0.0),
+        drop_after=getattr(args, "drop_after", 6),
+        trunc_seg=(getattr(args, "trunc_seg", "b") or None),
+        always_truncate_tail=getattr(args, "always_truncate_tail", False),
+        sche_mode=getattr(args, "sche_mode", "warmup_linear"),
         max_pred=args.max_pred, mask_prob=args.mask_prob,
         len_vis_input=args.len_vis_input, max_len_b=args.max_len_b,
         max_seq_length=args.max_seq_length,
@@ -126,10 +183,16 @@ def main(args) -> None:
     multihost_initialize()
     set_seed(args.seed)
     use_hardware_prng()  # TPU rbg dropout keys: ~5% of step time
+    if getattr(args, "from_scratch", False):
+        # reference: _state_dict = {} if args.from_scratch else None
+        # (finetune.py:314) — no pretrained weights of any kind
+        args.bert_init_path = None
+        args.resnet_init_path = None
+        args.model_recover_path = None
     cfg = config_from_args(args)
     os.makedirs(cfg.output_dir, exist_ok=True)
-    logger = create_logger(os.path.join(cfg.output_dir, "training.log"),
-                           args)
+    logger = create_logger(os.path.join(
+        cfg.output_dir, getattr(args, "log_file", "training.log")), args)
     with open(os.path.join(cfg.output_dir, "opt.json"), "w") as f:
         json.dump(vars(args), f, indent=2)  # reference: finetune.py:213-214
     metrics_log = MetricLogger(cfg.output_dir, project="finetune",
@@ -140,10 +203,17 @@ def main(args) -> None:
         ds = VQADataset(cfg, tokenizer, args.src_file, split="train",
                         image_root=args.image_root, seed=cfg.seed)
     else:
-        ds = Img2TxtDataset(args.src_file, tokenizer, cfg, seed=cfg.seed)
+        # data_set='valid' reads --file_valid_jpgs instead of --src_file
+        # (reference data_loader.py:217-224)
+        src = args.src_file
+        if (getattr(args, "data_set", "train") == "valid"
+                and getattr(args, "file_valid_jpgs", None)):
+            src = args.file_valid_jpgs
+        ds = Img2TxtDataset(src, tokenizer, cfg, seed=cfg.seed)
     loader = BatchLoader(ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
                          num_shards=jax.process_count(),
-                         shard_index=jax.process_index())
+                         shard_index=jax.process_index(),
+                         workers=getattr(args, "num_workers", 1))
     # t_total counts OPTIMIZER steps (reference: finetune.py t_total =
     # len(loader) / grad_accum * epochs)
     t_total = max(1, len(loader) * cfg.epochs
@@ -213,9 +283,22 @@ def main(args) -> None:
                         cfg.model_recover_path)
 
     state = replicate(mesh, state)
-    train_step = jax.jit(ft.make_train_step(model, tx, cfg, t_total))
+    # drop-worst is epoch-gated (reference finetune.py:440: active when the
+    # 1-based epoch exceeds drop_after) and static in the compiled step, so
+    # at most two jitted specializations exist
+    _steps = {}
 
-    for epoch in range(start_epoch, cfg.epochs):
+    def step_for_epoch(epoch0: int):
+        ratio = ft.drop_worst_ratio_for_epoch(cfg, epoch0)
+        if ratio not in _steps:
+            _steps[ratio] = jax.jit(ft.make_train_step(
+                model, tx, cfg, t_total, drop_worst_ratio=ratio))
+        return _steps[ratio]
+
+    epochs = range(start_epoch, cfg.epochs) if getattr(
+        args, "do_train", True) else ()
+    for epoch in epochs:
+        train_step = step_for_epoch(epoch)
         agg = {}
         for batch in loader:
             batch = {k: v for k, v in batch.items()

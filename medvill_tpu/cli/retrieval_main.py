@@ -41,7 +41,25 @@ def str2bool(v):
 def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--train_dataset", type=str, default="")
-    p.add_argument("--eval_dataset", type=str, default="")
+    p.add_argument("--eval_dataset", type=str, default="",
+                   help="explicit eval JSONL; overrides the per-protocol "
+                        "flags below for both valid and test")
+    # the reference selects the eval pools by protocol: label-conditioned
+    # vs study-ID matching (full_dset_retrieval.py:564-585)
+    p.add_argument("--label_conditioned_valid_dataset", type=str, default="")
+    p.add_argument("--label_conditioned_test_dataset", type=str, default="")
+    p.add_argument("--studyID_valid_dataset", type=str, default="")
+    p.add_argument("--studyID_test_dataset", type=str, default="")
+    p.add_argument("--MIMIC_dset", type=str2bool, default=False,
+                   help="accepted for reference compatibility; the "
+                        "reference uses it to skip a 'split' key when "
+                        "positionally unpacking row keys "
+                        "(full_dset_retrieval.py:109-155) — our rows are "
+                        "read by name, so both layouts just work")
+    p.add_argument("--num_workers", type=int, default=1,
+                   help="eval-loader worker threads (reference "
+                        "full_dset_retrieval.py:572-585 DataLoader "
+                        "num_workers)")
     p.add_argument("--vocab_file", type=str, required=True)
     p.add_argument("--output_path", type=str, default="output_retrieval")
     p.add_argument("--do_train", type=str2bool, default=True)
@@ -56,6 +74,9 @@ def build_parser():
     p.add_argument("--seq_len", type=int, default=253)
     p.add_argument("--num_image_embeds", type=int, default=180)
     p.add_argument("--img_size", type=int, default=512)
+    p.add_argument("--img_channel", type=int, default=3, choices=[1, 3],
+                   help="1 expands grayscale JPGs to 3 channels at load "
+                        "(reference full_dset_retrieval.py:174-176,239-241)")
     p.add_argument("--eval_len_size", type=int, default=759)
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--load_pretrained_model", type=str, default=None)
@@ -87,7 +108,9 @@ def main(args) -> None:
         eval_len_size=args.eval_len_size,
         pretrained_ckpt=args.load_pretrained_model,
         image=ImageEncoderConfig(num_image_embeds=args.num_image_embeds,
-                                 img_size=args.img_size))
+                                 img_size=args.img_size,
+                                 img_channel=getattr(args, "img_channel",
+                                                     3)))
 
     mesh = make_mesh(cfg.mesh_shape)
     import jax.numpy as jnp
@@ -158,6 +181,20 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
     """Shared train/eval driver for both model branches
     (reference: full_dset_retrieval.py:341-510)."""
     cxr_bert = bool(args.CXRBERT)
+    # eval-pool resolution (reference full_dset_retrieval.py:564-585):
+    # valid pool during training, test pool for do_test; each chosen by the
+    # label_conditioned protocol switch; --eval_dataset overrides both
+    if args.label_conditioned:
+        valid_path = (args.eval_dataset
+                      or getattr(args, "label_conditioned_valid_dataset", ""))
+        test_path = (args.eval_dataset
+                     or getattr(args, "label_conditioned_test_dataset", ""))
+    else:
+        valid_path = (args.eval_dataset
+                      or getattr(args, "studyID_valid_dataset", ""))
+        test_path = (args.eval_dataset
+                     or getattr(args, "studyID_test_dataset", ""))
+    workers = getattr(args, "num_workers", 1)
     if args.do_train:
         train_ds = CXRRetrievalDataset(
             cfg.train_dataset, tokenizer, cfg, is_train=True,
@@ -186,13 +223,13 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
             logger.info("epoch %d: %s", epoch, row)
             ckpt_lib.save(cfg.output_path, epoch, jax.device_get(state),
                           config=vars(args))
-            if args.eval_during_training and cfg.eval_dataset:
-                # reference: full_dset_retrieval.py:415-458
-                eval_ds = CXRRetrievalDataset(cfg.eval_dataset, tokenizer,
+            if args.eval_during_training and valid_path:
+                # reference: full_dset_retrieval.py:415-458 (valid pool)
+                eval_ds = CXRRetrievalDataset(valid_path, tokenizer,
                                               cfg, is_train=False,
                                               cxr_bert=cxr_bert)
                 eval_loader = BatchLoader(eval_ds, cfg.batch_size,
-                                          shuffle=False)
+                                          shuffle=False, workers=workers)
                 score_step = jax.jit(make_score(model, cfg))
                 res = retrieve.run_retrieval_eval(
                     score_step, state, eval_loader, cfg.eval_len_size,
@@ -203,10 +240,11 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
                 logger.info("epoch %d eval: %s", epoch, res)
                 metrics_log.log({"mrr": res["mrr"]}, step=epoch)
 
-    if args.do_test and cfg.eval_dataset:
-        eval_ds = CXRRetrievalDataset(cfg.eval_dataset, tokenizer, cfg,
+    if args.do_test and test_path:
+        eval_ds = CXRRetrievalDataset(test_path, tokenizer, cfg,
                                       is_train=False, cxr_bert=cxr_bert)
-        eval_loader = BatchLoader(eval_ds, cfg.batch_size, shuffle=False)
+        eval_loader = BatchLoader(eval_ds, cfg.batch_size, shuffle=False,
+                                  workers=workers)
         score_step = jax.jit(make_score(model, cfg))
         results = retrieve.run_retrieval_eval(
             score_step, state, eval_loader, cfg.eval_len_size,

@@ -130,6 +130,26 @@ class BertConfig:
             type_vocab_size=6 if new_segment_ids else 2)
 
     @staticmethod
+    def from_reference_json(path: str,
+                            base: "BertConfig | None" = None) -> "BertConfig":
+        """Overlay a reference-style ``config.json`` (the vendored
+        BertConfig.to_json_string dict written next to every torch
+        checkpoint — reference model.py:106-199; loaded by decode/finetune
+        via --config_path, generation_decode.py:361) onto ``base``.
+        Keys with no equivalent in this dataclass (task_idx,
+        fp32_embedding, label_smoothing — training-state knobs, not
+        architecture) are ignored."""
+        import json as _json
+
+        with open(path) as f:
+            d = _json.load(f)
+        base = base or BertConfig()
+        fields = {f.name for f in dataclasses.fields(BertConfig)}
+        return dataclasses.replace(
+            base, **{k: v for k, v in d.items()
+                     if k in fields and v is not None})
+
+    @staticmethod
     def test_tiny(vocab_size: int = 128) -> "BertConfig":
         """Scratch config for unit tests (fast CPU compile)."""
         return BertConfig(vocab_size=vocab_size, hidden_size=32,
@@ -147,6 +167,10 @@ class ImageEncoderConfig:
     # models/image.py:71-93)
     encoder: str = "random-pixel"
     img_size: int = 512            # 224 | 512
+    # DATA-LAYER flag: 1 means the source JPGs are grayscale and get
+    # expanded to 3 channels at load (reference full_dset_retrieval.py:
+    # 174-176 Grayscale(num_output_channels=3)); the model input and the
+    # ResNet stem are always 3-channel either way.
     img_channel: int = 3
     img_hidden_size: int = 2048    # ResNet-50 final channels
     num_image_embeds: int = 180    # 36 | 49 | 180 | 256; 1-9 for pool
@@ -264,6 +288,9 @@ class ClassificationConfig:
     data_path: str = ""
     output_path: str = "output_clf"
     task: str = "mimic-cxr"  # mimic-cxr | openi
+    # "multilabel": weighted BCE + AUROC/F1; "classification": softmax CE +
+    # accuracy (reference --task_type, mmbt/main.py:30,92-104,147-193)
+    task_type: str = "multilabel"
     batch_size: int = 56
     max_epochs: int = 10
     lr: float = 1e-4
@@ -334,7 +361,24 @@ class FinetuneConfig:
     weight_decay: float = 0.01
     gradient_accumulation_steps: int = 1
     label_smoothing: float = 0.1
-    drop_prob: float = 0.1       # drop-worst ratio (reference --drop_prob)
+    # --drop_prob overrides the model's dropout rates (reference
+    # model.py:620-623 sets attention_probs_dropout_prob AND
+    # hidden_dropout_prob from it); it is NOT the drop-worst ratio.
+    drop_prob: float = 0.1
+    # Ruotian-Luo drop-worst: ratio --max_drop_worst_ratio (default 0 — OFF),
+    # active only when the 1-based epoch exceeds --drop_after
+    # (reference finetune.py:179-180,440)
+    max_drop_worst_ratio: float = 0.0
+    drop_after: int = 6
+    # pair-truncation policy (reference finetune.py:158-161; at the default
+    # call shapes the trunc_seg branch is unreachable because only segment b
+    # can exceed its cap — see data/sampling.py::truncate_tokens_pair)
+    trunc_seg: Optional[str] = "b"
+    always_truncate_tail: bool = False
+    # BertAdam schedule mode (reference --sche_mode, finetune.py:175; the
+    # fp16 manual-lr override computes warmup_linear but in the executed
+    # non-fp16 path BertAdam's internal schedule governs)
+    sche_mode: str = "warmup_linear"
     max_pred: int = 3            # max masked tokens per sample (report-gen: 128)
     mask_prob: float = 0.15
     seed: int = 123

@@ -56,7 +56,12 @@ class ClassificationDataset:
     def __init__(self, data_path_or_records, tokenizer, labels: Sequence[str],
                  max_seq_len: int, num_image_embeds: int, img_size: int,
                  drop_img_percent: float = 0.0, openi: bool = False,
-                 image_loader=None):
+                 image_loader=None, task_type: str = "multilabel"):
+        # task_type: "multilabel" emits a multi-hot target (reference
+        # dataset.py:56-66); "classification" emits the single-label class
+        # index (reference dataset.py:62-64 LongTensor path)
+        assert task_type in ("multilabel", "classification")
+        self.task_type = task_type
         if isinstance(data_path_or_records, str):
             self.data_dir = os.path.dirname(data_path_or_records)
             with open(data_path_or_records) as f:
@@ -100,10 +105,15 @@ class ClassificationDataset:
         ids = ids + [vocab["[PAD]"]] * (self.max_seq_len - txt_len)
         segment = [1] * self.max_seq_len  # text segment shifted to 1
 
-        label = np.zeros(self.n_classes, np.float32)
-        lab = row["label"] if row["label"] != "" else "'Others'"
-        for tgt in lab.split(", "):
-            label[self.labels.index(tgt)] = 1.0
+        if self.task_type == "multilabel":
+            label = np.zeros(self.n_classes, np.float32)
+            lab = row["label"] if row["label"] != "" else "'Others'"
+            for tgt in lab.split(", "):
+                label[self.labels.index(tgt)] = 1.0
+        else:
+            # single-label class index (reference dataset.py:62-64; no
+            # ''->Others fill in this branch)
+            label = np.int32(self.labels.index(row["label"]))
 
         image = self.image_loader(row.get("img"))
         return dict(

@@ -48,8 +48,11 @@ class CXRRetrievalDataset:
         self.image_loader = image_loader or self._default_image_loader
 
     def _default_image_loader(self, img_path: str) -> np.ndarray:
+        # img_channel=1 sources are grayscale JPGs expanded to 3 channels
+        # (reference full_dset_retrieval.py:174-176,239-241 transform split)
         return image_lib.load_image(
             os.path.join(self.data_dir, img_path), self.cfg.image.img_size,
+            grayscale_to_rgb=(self.cfg.image.img_channel == 1),
             do_resize=False)
 
     def __len__(self) -> int:

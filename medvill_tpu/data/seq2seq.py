@@ -55,7 +55,11 @@ class Seq2seqPreprocessor:
         tokens_a = ["[UNK]"] * len_vis
         tokens_b = list(tokens_b)
         truncate_tokens_pair(tokens_a, tokens_b, len_vis + cfg.max_len_b,
-                             max_len_b=cfg.max_len_b, rng=rng)
+                             max_len_b=cfg.max_len_b,
+                             trunc_seg=getattr(cfg, "trunc_seg", "b"),
+                             always_truncate_tail=getattr(
+                                 cfg, "always_truncate_tail", False),
+                             rng=rng)
         tokens = ["[CLS]"] + tokens_a + ["[SEP]"] + tokens_b + ["[SEP]"]
 
         if cfg.new_segment_ids and self.mode == "s2s":

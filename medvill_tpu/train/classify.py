@@ -97,7 +97,12 @@ def make_train_step(model: MultimodalBertClf, tx, cfg: ClassificationConfig,
                 batch["image"], cls_id, sep_id, deterministic=False,
                 train_cnn=True, attention_fn=local_attention_fn,
                 rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
-            if pw is not None:
+            if getattr(cfg, "task_type", "multilabel") == "classification":
+                # single-label CE (reference mmbt/main.py:103
+                # nn.CrossEntropyLoss)
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    out.astype(jnp.float32), batch["label"]).mean()
+            elif pw is not None:
                 loss = weighted_bce_with_logits(out, batch["label"], pw)
             else:
                 loss = weighted_bce_with_logits(out, batch["label"],
@@ -178,8 +183,10 @@ class PlateauScheduler:
         return self.scale
 
 
-def evaluate(eval_step, state, batches) -> Tuple[dict, np.ndarray, np.ndarray]:
-    """Collect logits over a loader, compute AUROC/F1
+def evaluate(eval_step, state, batches, task_type: str = "multilabel"
+             ) -> Tuple[dict, np.ndarray, np.ndarray]:
+    """Collect logits over a loader; multilabel computes AUROC/F1,
+    classification computes argmax accuracy
     (reference: mmbt/main.py:138-193)."""
     logits, labels = [], []
     for batch in batches:
@@ -188,4 +195,8 @@ def evaluate(eval_step, state, batches) -> Tuple[dict, np.ndarray, np.ndarray]:
         labels.append(np.asarray(batch["label"]))
     logits = np.concatenate(logits)
     labels = np.concatenate(labels)
+    if task_type == "classification":
+        # reference mmbt/main.py:151-152,189-191: softmax argmax vs target
+        preds = logits.argmax(-1)
+        return {"acc": float((preds == labels).mean())}, logits, labels
     return classification_metrics(logits, labels), logits, labels

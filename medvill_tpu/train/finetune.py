@@ -45,8 +45,23 @@ def finetune_bias(mask_spec: jnp.ndarray, len_vis_input: int, max_len: int,
     return ((1.0 - dense.astype(dtype)) * -10000.0)[:, None, :, :]
 
 
+def drop_worst_ratio_for_epoch(cfg: FinetuneConfig, epoch0: int) -> float:
+    """Epoch-gated drop-worst ratio (reference finetune.py:440:
+    ``args.max_drop_worst_ratio if i_epoch > args.drop_after else 0`` with
+    1-based i_epoch; ``epoch0`` here is 0-based)."""
+    active = (epoch0 + 1) > getattr(cfg, "drop_after", 6)
+    return getattr(cfg, "max_drop_worst_ratio", 0.0) if active else 0.0
+
+
 def make_train_step(model: VLPForPreTraining, tx, cfg: FinetuneConfig,
-                    t_total: int, attention_fn=None):
+                    t_total: int, attention_fn=None,
+                    drop_worst_ratio: float = 0.0):
+    """``drop_worst_ratio`` is epoch-gated by the caller (reference
+    finetune.py:440: max_drop_worst_ratio if i_epoch > drop_after else 0) —
+    it is a static compile-time ratio, so the CLI builds one jitted step per
+    phase (at most two)."""
+    lr_schedule = optim.SCHEDULES[getattr(cfg, "sche_mode", "warmup_linear")]
+
     def train_step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
         local_attention_fn = attention_fn
@@ -100,7 +115,7 @@ def make_train_step(model: VLPForPreTraining, tx, cfg: FinetuneConfig,
                     per_pos = cross_entropy_per_example(logits,
                                                         batch["masked_ids"])
                 loss = drop_worst_normalize(per_pos, batch["masked_weights"],
-                                            cfg.drop_prob)
+                                            drop_worst_ratio)
                 aux = {"masked_lm_loss": loss}
             aux["loss"] = loss
             return loss, (aux, updates.get("batch_stats", state.batch_stats))
@@ -112,7 +127,7 @@ def make_train_step(model: VLPForPreTraining, tx, cfg: FinetuneConfig,
         # optimizer steps — reference bumps global_step every accum window
         opt_step = state.step // cfg.gradient_accumulation_steps
         x = opt_step.astype(jnp.float32) / t_total
-        lr_t = cfg.lr * optim.warmup_linear(x, cfg.warmup)
+        lr_t = cfg.lr * lr_schedule(x, cfg.warmup)
         updates = jax.tree_util.tree_map(lambda u: -lr_t * u, updates)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(step=state.step + 1, params=new_params,

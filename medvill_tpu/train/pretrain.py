@@ -56,8 +56,12 @@ def init_state(cfg: PretrainConfig, rng: jax.Array,
         input_txt=jnp.zeros((B, L_txt), jnp.int32),
         mask_spec=jnp.zeros((B, 2), jnp.int32),
         segment=jnp.ones((B, L_txt), jnp.int32),
-        image=jnp.zeros((B, cfg.image.img_size, cfg.image.img_size,
-                         cfg.image.img_channel), jnp.float32),
+        # the model input is always 3-channel: img_channel=1 sources are
+        # grayscale-expanded at load time (reference
+        # full_dset_retrieval.py:174-176 Grayscale(num_output_channels=3)),
+        # matching the 3-channel ResNet-50 stem
+        image=jnp.zeros((B, cfg.image.img_size, cfg.image.img_size, 3),
+                        jnp.float32),
         sep_tok=jnp.zeros((B, 1), jnp.int32),
     )
     pixel_indices = jnp.arange(N, dtype=jnp.int32)

@@ -74,6 +74,41 @@ def test_classification_cli_one_epoch(tmp_path):
     assert vals and all(np.isfinite(vals)), rows
 
 
+def test_classification_cli_single_label_mode(tmp_path):
+    """--task_type classification: softmax CE + accuracy model selection
+    (reference mmbt/main.py:30,92-104,147-193)."""
+    from medvill_tpu.cli import classification_main
+
+    rng = np.random.default_rng(5)
+    paths = _images(tmp_path, 8)
+    labels = ["Cardiomegaly", "Edema", "Others"]
+    for split in ("Train.jsonl", "Valid.jsonl"):
+        with open(tmp_path / split, "w") as f:
+            for i, p in enumerate(paths):
+                f.write(json.dumps({
+                    "id": f"{split}-{i}",
+                    "text": " ".join(rng.choice(WORDS, 6).tolist()),
+                    "label": labels[i % 3],   # single label per row
+                    "img": p}) + "\n")
+    out = tmp_path / "out_clf_single"
+    args = classification_main.build_parser().parse_args([
+        "--data_path", str(tmp_path), "--vocab_file", _vocab(tmp_path),
+        "--savedir", str(out), "--bert_model", "test-tiny",
+        "--vocab_size", "32", "--batch_sz", "8", "--max_epochs", "1",
+        "--num_image_embeds", "4", "--img_size", "64",
+        "--max_seq_len", "20", "--task_type", "classification",
+        "--name", "single",    # reference --name alias for the run name
+    ])
+    classification_main.train(args)
+    run_dir = os.path.join(str(out), "single")
+    rows = [json.loads(l)
+            for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    accs = [r["acc"] for r in rows if "acc" in r]
+    assert accs and all(0.0 <= a <= 1.0 for a in accs), rows
+    csv_rows = open(os.path.join(run_dir, "single.csv")).read().splitlines()
+    assert csv_rows[0] == "acc"
+
+
 def test_retrieval_cli_one_epoch(tmp_path):
     from medvill_tpu.cli import retrieval_main
 

@@ -135,6 +135,12 @@ class CXRRetrievalDataset:
             neg["is_aligned"] = np.int32(0)
             return idx, pos, neg
         sample = self._process(d["text"], d["img"])
+        if "is_aligned" not in d:
+            raise ValueError(
+                "retrieval eval rows must carry 'is_aligned': eval pools "
+                "are pre-built candidate lists of eval_len_size entries per "
+                "query (reference full_dset_retrieval.py:145-162); got keys "
+                f"{sorted(d)}")
         sample["is_aligned"] = np.int32(d["is_aligned"][0]
                                         if isinstance(d["is_aligned"], list)
                                         else d["is_aligned"])

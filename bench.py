@@ -73,10 +73,10 @@ def bench_decode(batch: int = 8, iters: int = 3, beam: int = 1) -> None:
                                                   101, 102))
     out_ids, _, _ = run(variables, image)
     _ = int(np.asarray(out_ids)[0, 0])  # host sync
+    # fence once at the end: per-iter host reads pay the remote-tunnel RTT
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out_ids, _, _ = run(variables, image)
-        _ = int(np.asarray(out_ids)[0, 0])
+    outs = [run(variables, image)[0] for _ in range(iters)]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     toks_per_sec = batch * settings.max_txt_length * iters / dt
     mode = "greedy" if beam == 1 else f"beam {beam}"
@@ -149,11 +149,16 @@ def bench_finetune(batch: int = 16, iters: int = 8) -> None:
                    donate_argnums=(0,))
     state, aux = step(state, dev_batch, jax.random.PRNGKey(1))
     _ = float(aux["loss"])
+    # fence ONCE at the end (same methodology as bench_pretrain): a per-step
+    # float(aux["loss"]) host read serializes dispatch on the remote-tunnel
+    # RTT (~26-60 ms/step, session-dependent) and measures the tunnel, not
+    # the chip — observed as a spurious 136 -> 104 pairs/s "regression"
     t0 = time.perf_counter()
     for _ in range(iters):
         state, aux = step(state, dev_batch, jax.random.PRNGKey(1))
-        _ = float(aux["loss"])
+    jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
+    _ = float(aux["loss"])
     pairs_per_sec = batch * iters / dt
     print(json.dumps({
         "metric": "finetune_reportgen_pairs_per_sec_per_chip",
@@ -409,11 +414,20 @@ def main() -> None:
                    workers=int(sys.argv[3]) if len(sys.argv) > 3 else 1)
         return
     if cmd == "all":
-        # the three driver-recorded metrics (BASELINE.json names pretrain
-        # pairs/s and decode tokens/s as north stars); the headline
-        # pretrain line prints LAST
-        bench_decode(32, 2)
-        bench_finetune(16, 6)
+        # the driver-recorded metrics (BASELINE.json names pretrain
+        # pairs/s and decode tokens/s as north stars); the headline pretrain
+        # line prints LAST and must survive any earlier failure.  Beam-4
+        # decode (`python bench.py decode 8 3 4`, the mode behind the
+        # reference's published BLEU: 998.8 tok/s measured) is NOT in the
+        # default set: its fresh XLA compile runs >25 min through the
+        # remote-tunnel compile service, which would risk the whole run's
+        # time budget whenever the cache is cold
+        for fn in (lambda: bench_decode(32, 2),
+                   lambda: bench_finetune(16, 6)):
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001 — keep the headline alive
+                print("bench sub-mode failed: %r" % (e,), file=sys.stderr)
         bench_pretrain()
         return
 

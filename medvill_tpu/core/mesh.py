@@ -69,6 +69,66 @@ def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+def tp_spec(path: str, ndim: int) -> P:
+    """Megatron-style tensor-parallel PartitionSpec for one leaf of the BERT
+    joint-encoder tree, keyed on the flax module path (models/bert.py names).
+
+    Column-parallel (shard the output features over ``model``): the QKV
+    projections — sharding the fused head dim H = heads·head_dim splits
+    whole heads as long as ``num_attention_heads % model_axis == 0`` — and
+    the FFN ``intermediate`` dense.  Row-parallel (shard the input
+    features; XLA inserts the all-reduce that Megatron calls ``g``): the
+    attention ``attention_output/dense`` and the FFN ``output_dense``.
+    Biases of column-parallel layers shard with the features they produce;
+    row-parallel biases, LayerNorms, embeddings, heads, and the (frozen)
+    ResNet trunk replicate.  The fused single-parameter QKV layout
+    (``BertConfig.fused_qkv``, off by default) interleaves q|k|v along the
+    output dim and is left replicated rather than sharded across the q/k/v
+    boundaries.
+
+    The same rule applies verbatim to optimizer-state leaves (adam mu/nu
+    mirror the param tree paths), so one function shards the whole
+    TrainState consistently.
+    """
+    leaf_of = lambda *names: any(f"'{n}'" in path or f"/{n}/" in path
+                                 or path.endswith(n) for n in names)
+    is_kernel = path.endswith("kernel']") or path.endswith("kernel")
+    is_bias = path.endswith("bias']") or path.endswith("bias")
+    col = leaf_of("query", "key", "value", "intermediate")
+    row = leaf_of("attention_output", "output_dense") and "LayerNorm" \
+        not in path
+    # attention_output contains both 'dense' (row-parallel) and its
+    # LayerNorm (replicated); output_dense is the FFN down-projection
+    if col and is_kernel and ndim == 2:
+        return P(None, MODEL_AXIS)
+    if col and is_bias and ndim == 1:
+        return P(MODEL_AXIS)
+    if row and is_kernel and ndim == 2 and leaf_of("dense", "output_dense"):
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def tp_shard(mesh: Mesh, tree: Any) -> Any:
+    """Place a pytree (params / TrainState / optimizer state) with
+    tensor-parallel shardings over the mesh's ``model`` axis and the rest
+    replicated.  Requires ``num_attention_heads % mesh.shape['model'] == 0``
+    and ``intermediate_size % mesh.shape['model'] == 0``; combine with a
+    ``data`` axis for 2-D (data x tensor) parallelism — XLA GSPMD inserts
+    the gradient all-reduce over ``data`` and the Megatron activation
+    collectives over ``model``."""
+    def put(path, x):
+        spec = tp_spec(jax.tree_util.keystr(path), np.ndim(x))
+        # never shard a dim the axis size doesn't divide (e.g. a tiny
+        # head count); GSPMD would reject it at lowering
+        m = mesh.shape.get(MODEL_AXIS, 1)
+        for dim, name in enumerate(spec):
+            if name == MODEL_AXIS and np.shape(x)[dim] % m:
+                spec = P()
+                break
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map_with_path(put, tree)
+
+
 def multihost_initialize() -> None:
     """Multi-host entry (reference DDP equivalent: sc/finetune.py:224-235).
 

@@ -1,0 +1,132 @@
+"""Tensor-parallel (2-D data x model mesh) pretrain step.
+
+The reference's only parallelism axis is data (SURVEY.md §2.6), which this
+package reproduces; TP is a beyond-parity scaling option for larger
+derivatives of the architecture.  `core/mesh.py::tp_shard` places the
+existing TrainState with Megatron-style column/row shardings over a
+``model`` axis — no model-code changes, XLA GSPMD inserts the activation
+collectives — so the SAME jitted train step runs data-parallel,
+tensor-parallel, or both, and must produce the same loss.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
+                                     PretrainConfig)
+from medvill_tpu.core.mesh import (MODEL_AXIS, make_mesh, replicate,
+                                   shard_batch, tp_shard, tp_spec)
+from medvill_tpu.models import resnet as resnet_lib
+from medvill_tpu.train import optim
+from medvill_tpu.train.pretrain import init_state, make_train_step
+
+pytestmark = pytest.mark.slow
+
+
+def _tiny_cfg(n_batch):
+    return PretrainConfig(
+        batch_size=n_batch, seq_len=7,
+        bert=BertConfig.test_tiny(vocab_size=64),
+        image=ImageEncoderConfig(img_size=64, num_image_embeds=3),
+        lr=1e-3)
+
+
+def _batch(B, cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    L_txt = cfg.seq_len + 1
+    return dict(
+        cls_tok=np.full((B, 1), 2, np.int32),
+        input_txt=rng.integers(0, 64, (B, L_txt)).astype(np.int32),
+        txt_labels=np.where(rng.random((B, cfg.total_len)) < 0.15,
+                            rng.integers(0, 64, (B, cfg.total_len)),
+                            -100).astype(np.int32),
+        mask_spec=np.stack([np.full(B, 2, np.int32),
+                            np.full(B, L_txt, np.int32)], -1),
+        segment=np.ones((B, L_txt), np.int32),
+        image=rng.standard_normal((B, 64, 64, 3)).astype(np.float32),
+        is_aligned=rng.integers(0, 2, (B,)).astype(np.int32),
+        sep_tok=np.full((B, 1), 3, np.int32),
+    )
+
+
+def test_tp_spec_rules():
+    spec = tp_spec("['params']['enc']['encoder']['layer_0']['self']"
+                   "['query']['kernel']", 2)
+    assert tuple(spec) == (None, MODEL_AXIS)
+    spec = tp_spec("['params']['enc']['encoder']['layer_0']['self']"
+                   "['value']['bias']", 1)
+    assert tuple(spec) == (MODEL_AXIS,)
+    spec = tp_spec("['params']['enc']['encoder']['layer_0']"
+                   "['attention_output']['dense']['kernel']", 2)
+    assert tuple(spec) == (MODEL_AXIS, None)
+    # row-parallel bias, LayerNorms, embeddings: replicated
+    assert tuple(tp_spec("['attention_output']['dense']['bias']", 1)) == ()
+    assert tuple(tp_spec("['attention_output']['LayerNorm']['scale']",
+                         1)) == ()
+    assert tuple(tp_spec("['embeddings']['word_embeddings']['embedding']",
+                         2)) == ()
+    spec = tp_spec("['layer_1']['intermediate']['kernel']", 2)
+    assert tuple(spec) == (None, MODEL_AXIS)
+    spec = tp_spec("['layer_1']['output_dense']['kernel']", 2)
+    assert tuple(spec) == (MODEL_AXIS, None)
+    # adam mu/nu mirror the param paths -> same rule applies
+    spec = tp_spec("[0]['mu']['enc']['encoder']['layer_0']['self']"
+                   "['key']['kernel']", 2)
+    assert tuple(spec) == (None, MODEL_AXIS)
+
+
+def test_tensor_parallel_matches_data_parallel():
+    n = jax.device_count()
+    assert n >= 4, "virtual multi-device platform not active"
+    B = 8
+    cfg = _tiny_cfg(B)
+    tx = optim.masked_trainable(
+        optim.adamw(cfg.lr),
+        lambda p: resnet_lib.cnn_freeze_mask(p, ("enc", "img_encoder")))
+    model, state0 = init_state(cfg, jax.random.PRNGKey(0), tx)
+    batch = _batch(B, cfg)
+    step = make_train_step(model, tx, cfg)
+    key = jax.random.PRNGKey(1)
+
+    # data-parallel reference: 1-D mesh, params replicated
+    dp_mesh = make_mesh((n,))
+    dp_state = replicate(dp_mesh, state0)
+    dp_new, dp_metrics = jax.jit(step)(dp_state, shard_batch(dp_mesh, batch),
+                                       key)
+    dp_loss = float(dp_metrics["loss"])
+
+    # 2-D data x model mesh: batch over `data`, params/optimizer TP-sharded
+    mesh = make_mesh((n // 2, 2), ("data", MODEL_AXIS))
+    tp_state = tp_shard(mesh, state0)
+    q = tp_state.params["enc"]["encoder"]["layer_0"]["self"]["query"][
+        "kernel"]
+    assert not q.sharding.is_fully_replicated, "TP placement was a no-op"
+    ffn = tp_state.params["enc"]["encoder"]["layer_0"]["intermediate"][
+        "kernel"]
+    assert not ffn.sharding.is_fully_replicated
+    tp_new, tp_metrics = jax.jit(step)(tp_state, shard_batch(mesh, batch),
+                                       key)
+    tp_loss = float(tp_metrics["loss"])
+
+    assert np.isfinite(tp_loss)
+    # same math, different reduction order across shards
+    np.testing.assert_allclose(tp_loss, dp_loss, rtol=2e-5, atol=2e-5)
+    # updated params stay sharded and numerically match the DP run
+    q_new = tp_new.params["enc"]["encoder"]["layer_0"]["self"]["query"][
+        "kernel"]
+    assert not q_new.sharding.is_fully_replicated
+    np.testing.assert_allclose(
+        np.asarray(q_new),
+        np.asarray(dp_new.params["enc"]["encoder"]["layer_0"]["self"][
+            "query"]["kernel"]), rtol=1e-4, atol=1e-5)
+
+
+def test_tp_shard_skips_indivisible_dims():
+    n = jax.device_count()
+    mesh = make_mesh((n // 2, 2), ("data", MODEL_AXIS))
+    # heads=2 is divisible by model=2, but a 3-wide leaf on the sharded dim
+    # must silently replicate instead of failing at lowering
+    tree = {"self": {"query": {"kernel": np.zeros((4, 3), np.float32)}}}
+    out = tp_shard(mesh, tree)
+    assert out["self"]["query"]["kernel"].sharding.is_fully_replicated

@@ -416,18 +416,28 @@ def main() -> None:
     if cmd == "all":
         # the driver-recorded metrics (BASELINE.json names pretrain
         # pairs/s and decode tokens/s as north stars); the headline pretrain
-        # line prints LAST and must survive any earlier failure.  Beam-4
-        # decode (`python bench.py decode 8 3 4`, the mode behind the
-        # reference's published BLEU: 998.8 tok/s measured) is NOT in the
-        # default set: its fresh XLA compile runs >25 min through the
+        # line prints LAST and must survive any earlier failure or HANG (a
+        # transient backend outage was observed to hang a sub-mode's device
+        # init for 35+ min), so each sub-mode runs in its own
+        # timeout-bounded subprocess; the single-tenant chip is free for it
+        # because this parent has not initialized the TPU backend yet.
+        # Beam-4 decode (`python bench.py decode 8 3 4`, the mode behind
+        # the reference's published BLEU: 998.8 tok/s measured) is NOT in
+        # the default set: its fresh XLA compile runs >25 min through the
         # remote-tunnel compile service, which would risk the whole run's
         # time budget whenever the cache is cold
-        for fn in (lambda: bench_decode(32, 2),
-                   lambda: bench_finetune(16, 6)):
+        import subprocess
+        for argv in (["decode", "32", "2"], ["finetune", "16", "6"]):
             try:
-                fn()
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)] + argv,
+                    timeout=900, stdout=subprocess.PIPE,
+                    stderr=subprocess.DEVNULL)
+                sys.stdout.write(r.stdout.decode())
+                sys.stdout.flush()
             except Exception as e:  # noqa: BLE001 — keep the headline alive
-                print("bench sub-mode failed: %r" % (e,), file=sys.stderr)
+                print("bench sub-mode %s failed: %r" % (argv[0], e),
+                      file=sys.stderr)
         bench_pretrain()
         return
 

@@ -122,6 +122,65 @@ def test_tensor_parallel_matches_data_parallel():
             "query"]["kernel"]), rtol=1e-4, atol=1e-5)
 
 
+def test_tensor_parallel_finetune_step():
+    """The name-keyed TP rules generalize to the VLP finetune tree (same
+    BertLayer module names under a different root)."""
+    import jax.numpy as jnp
+
+    from medvill_tpu.core.config import FinetuneConfig
+    from medvill_tpu.train import finetune as ft
+    from medvill_tpu.train.pretrain import TrainState
+
+    n = jax.device_count()
+    assert n >= 4
+    B = 8
+    cfg = FinetuneConfig(
+        bert=BertConfig.vlp(BertConfig.test_tiny(vocab_size=64)),
+        image=ImageEncoderConfig(img_size=64, num_image_embeds=4,
+                                 encoder="full-fiber"),
+        len_vis_input=4, max_len_b=10, max_seq_length=24, max_pred=3,
+        img_size=64, batch_size=B, label_smoothing=0.1)
+    model = ft.build_model(cfg)
+    L = cfg.max_seq_length
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((2, 64, 64, 3)),
+        jnp.zeros((2, L), jnp.int32), jnp.zeros((2, L), jnp.int32),
+        jnp.zeros((2, 1, L, L)),
+        masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
+        deterministic=True)
+    tx = ft.make_finetune_tx(cfg)
+    state = TrainState(step=jnp.zeros([], jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]))
+    mesh = make_mesh((n // 2, 2), ("data", MODEL_AXIS))
+    tp_state = tp_shard(mesh, state)
+    # at least one encoder kernel must actually be sharded
+    enc = tp_state.params
+    while "encoder" not in enc:
+        enc = enc[next(iter(enc))]
+    q = enc["encoder"]["layer_0"]["self"]["query"]["kernel"]
+    assert not q.sharding.is_fully_replicated
+
+    rng = np.random.default_rng(1)
+    vis2 = cfg.len_vis_input + 2
+    batch = dict(
+        image=rng.standard_normal((B, 64, 64, 3)).astype(np.float32),
+        input_ids=rng.integers(0, 64, (B, L)).astype(np.int32),
+        segment_ids=np.concatenate(
+            [np.full((B, vis2), 4, np.int32),
+             np.full((B, L - vis2), 5, np.int32)], 1),
+        mask_spec=np.stack([np.full(B, 1, np.int32),
+                            np.full(B, L, np.int32)], -1),
+        masked_pos=rng.integers(vis2, L, (B, cfg.max_pred)).astype(np.int32),
+        masked_ids=rng.integers(1, 64, (B, cfg.max_pred)).astype(np.int32),
+        masked_weights=np.ones((B, cfg.max_pred), np.float32),
+    )
+    step = jax.jit(ft.make_train_step(model, tx, cfg, t_total=100))
+    _, aux = step(tp_state, shard_batch(mesh, batch), jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux["loss"]))
+
+
 def test_tp_shard_skips_indivisible_dims():
     n = jax.device_count()
     mesh = make_mesh((n // 2, 2), ("data", MODEL_AXIS))

@@ -120,6 +120,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "lax.scan (amortizes per-dispatch overhead; 8 is a "
                         "good TPU value).  Epoch-tail batches that do not "
                         "fill a group are dropped.")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel degree: lay the mesh out as "
+                        "(data, model) and shard the joint encoder "
+                        "Megatron-style over the model axis "
+                        "(core/mesh.py::tp_shard).  Requires "
+                        "num_attention_heads %% N == 0.  Default 1 = pure "
+                        "data parallelism (the reference's only strategy).")
     p.add_argument("--freeze_img_trunk", type=str2bool, default=True,
                    help="freeze the entire ResNet trunk (the reference's "
                         "executed behavior: its children()[5:] unfreeze is "
@@ -186,7 +193,13 @@ def train(args) -> None:
                                      seed=cfg.seed + 1)
         test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False)
 
-    mesh = make_mesh(cfg.mesh_shape)
+    mp = max(1, getattr(args, "model_parallel", 1))
+    if mp > 1:
+        from medvill_tpu.core.mesh import MODEL_AXIS
+
+        mesh = make_mesh((-1, mp), ("data", MODEL_AXIS))
+    else:
+        mesh = make_mesh(cfg.mesh_shape)
     tx = optim.accumulate(
         optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay),
         cfg.gradient_accumulation_steps)
@@ -239,7 +252,14 @@ def train(args) -> None:
         if epoch is not None:
             state = ckpt_lib.restore(cfg.pre_trained_model_path, epoch, state)
             logger.info("restored checkpoint epoch %s", epoch)
-    state = replicate(mesh, state)
+    if mp > 1:
+        from medvill_tpu.core.mesh import tp_shard
+
+        state = tp_shard(mesh, state)
+        logger.info("tensor-parallel degree %d over a %s mesh", mp,
+                    dict(mesh.shape))
+    else:
+        state = replicate(mesh, state)
     k_disp = max(1, getattr(args, "steps_per_dispatch", 1))
     if k_disp > 1:
         # k micro-steps per jit dispatch (lax.scan over stacked batches):

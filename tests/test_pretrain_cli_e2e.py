@@ -72,6 +72,32 @@ def test_pretrain_cli_one_epoch(tmp_path):
     assert os.path.exists(os.path.join(str(out), "train.log"))
 
 
+def test_pretrain_cli_tensor_parallel(tmp_path):
+    """--model_parallel 2: same CLI path over a (data, model) mesh with the
+    joint encoder TP-sharded (core/mesh.py::tp_shard); must train an epoch
+    and checkpoint like the data-parallel run."""
+    from medvill_tpu.cli import pretrain_main
+    from medvill_tpu.core import checkpoint as ckpt_lib
+
+    train, vocab = _write_dataset(tmp_path)
+    out = tmp_path / "out_tp"
+    args = pretrain_main.build_parser().parse_args([
+        "--train_dataset", train, "--vocab_file", vocab,
+        "--output_path", str(out), "--bert_model", "test-tiny",
+        "--vocab_size", "32", "--epochs", "1", "--batch_size", "8",
+        "--num_image_embeds", "3", "--img_size", "64", "--seq_len", "7",
+        "--gradient_accumulation_steps", "1", "--num_workers", "0",
+        "--model_parallel", "2",
+    ])
+    pretrain_main.train(args)
+    assert ckpt_lib.latest_epoch(str(out)) == 0
+    rows = [json.loads(l)
+            for l in open(os.path.join(str(out), "metrics.jsonl"))]
+    losses = [v for r in rows for k, v in r.items()
+              if isinstance(v, (int, float)) and "loss" in k]
+    assert losses and all(np.isfinite(losses)), rows
+
+
 def test_pretrain_cli_short_epoch_multi_dispatch(tmp_path):
     """An epoch with fewer batches than --steps_per_dispatch must still
     train (the tail batches flow through the single-step path) instead of

@@ -98,6 +98,9 @@ def build_parser():
     p.add_argument("--num_workers", type=int, default=1,
                    help="loader worker threads (reference DataLoader "
                         "num_workers, finetune.py:284-286)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel degree over a (data, model) mesh "
+                        "(core/mesh.py::tp_shard); 1 = data parallel")
     p.add_argument("--log_file", type=str, default="training.log",
                    help="log filename under output_dir (reference "
                         "--log_file, finetune.py:223)")
@@ -219,7 +222,13 @@ def main(args) -> None:
     t_total = max(1, len(loader) * cfg.epochs
                   // cfg.gradient_accumulation_steps)
 
-    mesh = make_mesh(cfg.mesh_shape)
+    mp = max(1, getattr(args, "model_parallel", 1))
+    if mp > 1:
+        from medvill_tpu.core.mesh import MODEL_AXIS
+
+        mesh = make_mesh((-1, mp), ("data", MODEL_AXIS))
+    else:
+        mesh = make_mesh(cfg.mesh_shape)
     model = ft.build_model(cfg)
     import jax.numpy as jnp
 
@@ -282,7 +291,14 @@ def main(args) -> None:
             logger.info("recovered pretrain weights from %s",
                         cfg.model_recover_path)
 
-    state = replicate(mesh, state)
+    if mp > 1:
+        from medvill_tpu.core.mesh import tp_shard
+
+        state = tp_shard(mesh, state)
+        logger.info("tensor-parallel degree %d over a %s mesh", mp,
+                    dict(mesh.shape))
+    else:
+        state = replicate(mesh, state)
     # drop-worst is epoch-gated (reference finetune.py:440: active when the
     # 1-based epoch exceeds drop_after) and static in the compiled step, so
     # at most two jitted specializations exist

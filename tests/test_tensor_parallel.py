@@ -181,6 +181,47 @@ def test_tensor_parallel_finetune_step():
     assert np.isfinite(float(aux["loss"]))
 
 
+def test_tensor_parallel_decode_matches_replicated():
+    """KV-cached greedy decode with TP-sharded weights (model-parallel
+    serving) must emit the same tokens as the replicated run."""
+    import jax.numpy as jnp
+
+    from medvill_tpu.core.config import FinetuneConfig
+    from medvill_tpu.models.decoder import DecodeSettings, greedy_decode
+    from medvill_tpu.train import finetune as ft
+
+    n = jax.device_count()
+    assert n >= 4
+    B = 8
+    cfg = FinetuneConfig(
+        bert=BertConfig.vlp(BertConfig.test_tiny(vocab_size=64)),
+        image=ImageEncoderConfig(img_size=64, num_image_embeds=4,
+                                 encoder="full-fiber"),
+        len_vis_input=4, max_len_b=10, max_seq_length=24, max_pred=3,
+        img_size=64, batch_size=B)
+    model = ft.build_model(cfg)
+    L = cfg.max_seq_length
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((2, 64, 64, 3)),
+        jnp.zeros((2, L), jnp.int32), jnp.zeros((2, L), jnp.int32),
+        jnp.zeros((2, 1, L, L)),
+        masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
+        deterministic=True)
+    settings = DecodeSettings(max_txt_length=4, mask_word_id=4, eos_id=-1)
+    image = np.random.default_rng(3).standard_normal(
+        (B, 64, 64, 3)).astype(np.float32)
+    run = jax.jit(lambda v, im: greedy_decode(model, v, im, settings, 2, 3))
+
+    dp_mesh = make_mesh((n,))
+    ref_ids, _, _ = run(replicate(dp_mesh, variables),
+                        shard_batch(dp_mesh, image))
+
+    mesh = make_mesh((n // 2, 2), ("data", MODEL_AXIS))
+    tp_vars = tp_shard(mesh, variables)
+    tp_ids, _, _ = run(tp_vars, shard_batch(mesh, image))
+    np.testing.assert_array_equal(np.asarray(tp_ids), np.asarray(ref_ids))
+
+
 def test_tp_shard_skips_indivisible_dims():
     n = jax.device_count()
     mesh = make_mesh((n // 2, 2), ("data", MODEL_AXIS))

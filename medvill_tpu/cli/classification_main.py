@@ -13,7 +13,7 @@ import numpy as np
 from medvill_tpu.core.config import (BertConfig, ClassificationConfig,
                                      ImageEncoderConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
-from medvill_tpu.core.mesh import make_mesh, replicate, shard_batch
+from medvill_tpu.core.mesh import cli_mesh_and_place, shard_batch
 from medvill_tpu.data.classification import (ClassificationDataset,
                                              get_labels_and_frequencies,
                                              pos_weights)
@@ -72,6 +72,9 @@ def build_parser():
                    help="loader worker threads (reference --n_workers, "
                         "torch DataLoader num_workers; <=1 is the "
                         "deterministic shared-RNG-stream mode)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel degree over a (data, model) mesh "
+                        "(core/mesh.py::tp_shard); 1 = data parallel")
     p.add_argument("--openi", type=str2bool, default=False)
     p.add_argument("--batch_sz", type=int, default=56)
     p.add_argument("--max_epochs", type=int, default=10)
@@ -168,7 +171,8 @@ def train(args) -> None:
     t_total = max(1, int(len(train_ds) / cfg.batch_size
                          / cfg.gradient_accumulation_steps * cfg.max_epochs))
 
-    mesh = make_mesh(cfg.mesh_shape)
+    mesh, place_state = cli_mesh_and_place(
+        cfg.mesh_shape, max(1, getattr(args, "model_parallel", 1)))
     model = classify.build_model(cfg, len(labels))
     import jax.numpy as jnp
     cls_id = tokenizer.vocab["[CLS]"]
@@ -210,7 +214,7 @@ def train(args) -> None:
     tx = classify.make_tx(cfg, t_total)
     state = TrainState(step=jnp.zeros([], jnp.int32), params=params,
                        batch_stats=batch_stats, opt_state=tx.init(params))
-    state = replicate(mesh, state)
+    state = place_state(state)
     train_step = jax.jit(classify.make_train_step(
         model, tx, cfg, t_total, pw, cls_id, sep_id))
     eval_step = jax.jit(classify.make_eval_step(model, cls_id, sep_id))

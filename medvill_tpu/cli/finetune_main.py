@@ -14,7 +14,7 @@ import numpy as np
 from medvill_tpu.core.config import (BertConfig, FinetuneConfig,
                                      ImageEncoderConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
-from medvill_tpu.core.mesh import (make_mesh, multihost_initialize, replicate,
+from medvill_tpu.core.mesh import (cli_mesh_and_place, multihost_initialize,
                                    shard_batch)
 from medvill_tpu.data.pretrain import BatchLoader
 from medvill_tpu.data.seq2seq import Img2TxtDataset
@@ -223,12 +223,7 @@ def main(args) -> None:
                   // cfg.gradient_accumulation_steps)
 
     mp = max(1, getattr(args, "model_parallel", 1))
-    if mp > 1:
-        from medvill_tpu.core.mesh import MODEL_AXIS
-
-        mesh = make_mesh((-1, mp), ("data", MODEL_AXIS))
-    else:
-        mesh = make_mesh(cfg.mesh_shape)
+    mesh, place_state = cli_mesh_and_place(cfg.mesh_shape, mp)
     model = ft.build_model(cfg)
     import jax.numpy as jnp
 
@@ -291,14 +286,10 @@ def main(args) -> None:
             logger.info("recovered pretrain weights from %s",
                         cfg.model_recover_path)
 
+    state = place_state(state)
     if mp > 1:
-        from medvill_tpu.core.mesh import tp_shard
-
-        state = tp_shard(mesh, state)
         logger.info("tensor-parallel degree %d over a %s mesh", mp,
                     dict(mesh.shape))
-    else:
-        state = replicate(mesh, state)
     # drop-worst is epoch-gated (reference finetune.py:440: active when the
     # 1-based epoch exceeds drop_after) and static in the compiled step, so
     # at most two jitted specializations exist

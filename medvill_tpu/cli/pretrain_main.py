@@ -18,7 +18,7 @@ import numpy as np
 from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                      PretrainConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
-from medvill_tpu.core.mesh import (make_mesh, multihost_initialize, replicate,
+from medvill_tpu.core.mesh import (cli_mesh_and_place, multihost_initialize,
                                    shard_batch, shard_stacked_batch)
 from medvill_tpu.data.pretrain import (BatchLoader, CXRPretrainDataset,
                                        PrefetchLoader)
@@ -194,12 +194,7 @@ def train(args) -> None:
         test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False)
 
     mp = max(1, getattr(args, "model_parallel", 1))
-    if mp > 1:
-        from medvill_tpu.core.mesh import MODEL_AXIS
-
-        mesh = make_mesh((-1, mp), ("data", MODEL_AXIS))
-    else:
-        mesh = make_mesh(cfg.mesh_shape)
+    mesh, place_state = cli_mesh_and_place(cfg.mesh_shape, mp)
     tx = optim.accumulate(
         optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay),
         cfg.gradient_accumulation_steps)
@@ -252,14 +247,10 @@ def train(args) -> None:
         if epoch is not None:
             state = ckpt_lib.restore(cfg.pre_trained_model_path, epoch, state)
             logger.info("restored checkpoint epoch %s", epoch)
+    state = place_state(state)
     if mp > 1:
-        from medvill_tpu.core.mesh import tp_shard
-
-        state = tp_shard(mesh, state)
         logger.info("tensor-parallel degree %d over a %s mesh", mp,
                     dict(mesh.shape))
-    else:
-        state = replicate(mesh, state)
     k_disp = max(1, getattr(args, "steps_per_dispatch", 1))
     if k_disp > 1:
         # k micro-steps per jit dispatch (lax.scan over stacked batches):

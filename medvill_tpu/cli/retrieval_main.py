@@ -12,7 +12,7 @@ import numpy as np
 from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                      RetrievalConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
-from medvill_tpu.core.mesh import make_mesh, replicate, shard_batch
+from medvill_tpu.core.mesh import cli_mesh_and_place, shard_batch
 from medvill_tpu.data.pretrain import BatchLoader
 from medvill_tpu.data.retrieval import CXRRetrievalDataset, collate_pairs
 from medvill_tpu.data.tokenization import BertTokenizer
@@ -56,6 +56,9 @@ def build_parser():
                         "positionally unpacking row keys "
                         "(full_dset_retrieval.py:109-155) — our rows are "
                         "read by name, so both layouts just work")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel degree over a (data, model) mesh "
+                        "(core/mesh.py::tp_shard); 1 = data parallel")
     p.add_argument("--num_workers", type=int, default=1,
                    help="eval-loader worker threads (reference "
                         "full_dset_retrieval.py:572-585 DataLoader "
@@ -112,7 +115,8 @@ def main(args) -> None:
                                  img_channel=getattr(args, "img_channel",
                                                      3)))
 
-    mesh = make_mesh(cfg.mesh_shape)
+    mesh, place_state = cli_mesh_and_place(
+        cfg.mesh_shape, max(1, getattr(args, "model_parallel", 1)))
     import jax.numpy as jnp
     from medvill_tpu.train.pretrain import init_state
     from medvill_tpu.core.config import PretrainConfig
@@ -142,7 +146,7 @@ def main(args) -> None:
             state = ckpt_lib.restore_pretrained(
                 state, tx, cfg.pretrained_ckpt,
                 torch_init.init_cnn_bert_from_torch, logger, "CNN_BERT")
-        state = replicate(mesh, state)
+        state = place_state(state)
         run_retrieval(args, cfg, mesh, model, tx, state, tokenizer,
                       retrieve.make_cnn_train_step,
                       retrieve.make_cnn_score_step, logger, metrics_log)
@@ -169,7 +173,7 @@ def main(args) -> None:
         state = ckpt_lib.restore_pretrained(
             state, tx, cfg.pretrained_ckpt,
             torch_init.init_cxrbert_from_torch, logger, "pretrain")
-    state = replicate(mesh, state)
+    state = place_state(state)
     run_retrieval(args, cfg, mesh, model, tx, state, tokenizer,
                   retrieve.make_train_step, retrieve.make_score_step,
                   logger, metrics_log)

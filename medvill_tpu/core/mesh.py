@@ -129,6 +129,18 @@ def tp_shard(mesh: Mesh, tree: Any) -> Any:
     return jax.tree_util.tree_map_with_path(put, tree)
 
 
+def cli_mesh_and_place(mesh_shape: Sequence[int], model_parallel: int = 1):
+    """(mesh, place_fn) for a CLI entry point: the default 1-D ``data`` mesh
+    with replicated state, or — when ``model_parallel > 1`` — a 2-D
+    ``(data, model)`` mesh with the state tensor-parallel-sharded via
+    :func:`tp_shard`."""
+    if model_parallel and model_parallel > 1:
+        mesh = make_mesh((-1, model_parallel), (DATA_AXIS, MODEL_AXIS))
+        return mesh, lambda tree: tp_shard(mesh, tree)
+    mesh = make_mesh(mesh_shape)
+    return mesh, lambda tree: replicate(mesh, tree)
+
+
 def multihost_initialize() -> None:
     """Multi-host entry (reference DDP equivalent: sc/finetune.py:224-235).
 

@@ -228,10 +228,11 @@ def train(args) -> None:
             state, loss = train_step(state, shard_batch(mesh, batch),
                                      jax.random.PRNGKey(cfg.seed),
                                      jnp.asarray(lr_scale))
-            losses.append(float(loss))
+            # device value — float() here would host-sync every step
+            losses.append(loss)
         metrics, _, _ = classify.evaluate(eval_step, state, valid_loader,
                                           task_type=cfg.task_type)
-        metrics["train_loss"] = float(np.mean(losses))
+        metrics["train_loss"] = float(np.mean([float(l) for l in losses]))
         metrics_log.log({k: v for k, v in metrics.items()
                          if not isinstance(v, dict)}, step=epoch)
         logger.info("epoch %d: %s", epoch, metrics)

@@ -314,9 +314,12 @@ def main(args) -> None:
                               "masked_weights", "ans_target", "task_idx")}
             state, m = train_step(state, shard_batch(mesh, batch),
                                   jax.random.PRNGKey(cfg.seed))
+            # keep metrics on device: float() here would host-sync every
+            # step and serialize the pipeline on dispatch latency
             for k, v in m.items():
-                agg.setdefault(k, []).append(float(v))
-        row = {k: float(np.mean(v)) for k, v in agg.items()}
+                agg.setdefault(k, []).append(v)
+        row = {k: float(np.mean([float(x) for x in v]))
+               for k, v in agg.items()}
         metrics_log.log(row, step=epoch)
         logger.info("epoch %d: %s", epoch, row)
         if jax.process_index() == 0:  # rank-0 save (finetune.py:474-487)

@@ -314,12 +314,19 @@ def train(args) -> None:
                 jax.block_until_ready(m["loss"])
                 jax.profiler.stop_trace()
                 profiling = False
+            # accumulate DEVICE values; converting here would host-sync
+            # every dispatch and serialize the pipeline on dispatch latency
+            # (measured 35-55% of wall step time at k_disp=1 on a
+            # remote-tunnel chip) — the log_freq read below is the only
+            # periodic sync
             for k, val in m.items():
-                vals = np.asarray(val).reshape(-1)  # [k_disp] or scalar
-                agg.setdefault(k, []).extend(float(v) for v in vals)
+                agg.setdefault(k, []).append(val)
             if i % cfg.log_freq == 0:
                 logger.info("epoch %d it %d loss %.4f", epoch, i * k_disp,
                             float(np.asarray(m["loss"]).reshape(-1)[-1]))
+        agg = {k: [float(x) for val in v
+                   for x in np.asarray(val).reshape(-1)]
+               for k, v in agg.items()}  # [k_disp] or scalar per entry
         row = {f"avg_{k}": float(np.mean(v)) for k, v in agg.items()}
         if "mlm_correct" in agg:
             row["mlm_acc"] = (np.sum(agg["mlm_correct"])

@@ -219,10 +219,11 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
             for batch in pair_iter():
                 state, m = train_step(state, shard_batch(mesh, batch),
                                       jax.random.PRNGKey(cfg.seed))
-                losses.append(float(m["loss"]))
-                accs.append(float(m["acc"]))
-            row = {"train_loss": float(np.mean(losses)),
-                   "train_acc": float(np.mean(accs))}
+                # device values — float() here would host-sync every step
+                losses.append(m["loss"])
+                accs.append(m["acc"])
+            row = {"train_loss": float(np.mean([float(l) for l in losses])),
+                   "train_acc": float(np.mean([float(a) for a in accs]))}
             metrics_log.log(row, step=epoch)
             logger.info("epoch %d: %s", epoch, row)
             ckpt_lib.save(cfg.output_path, epoch, jax.device_get(state),

@@ -86,7 +86,9 @@ def test_pretrain_cli_tensor_parallel(tmp_path):
         "--output_path", str(out), "--bert_model", "test-tiny",
         "--vocab_size", "32", "--epochs", "1", "--batch_size", "8",
         "--num_image_embeds", "3", "--img_size", "64", "--seq_len", "7",
-        "--gradient_accumulation_steps", "1", "--num_workers", "0",
+        # accum=2 composes optax.MultiSteps with TP: its acc_grads mirror
+        # the param paths, so the same tp_spec rules shard them
+        "--gradient_accumulation_steps", "2", "--num_workers", "0",
         "--model_parallel", "2",
     ])
     pretrain_main.train(args)

@@ -222,6 +222,22 @@ def test_tensor_parallel_decode_matches_replicated():
     np.testing.assert_array_equal(np.asarray(tp_ids), np.asarray(ref_ids))
 
 
+def test_cli_mesh_and_place_modes():
+    from medvill_tpu.core.mesh import cli_mesh_and_place
+
+    n = jax.device_count()
+    mesh, place = cli_mesh_and_place((-1,), 1)
+    assert tuple(mesh.axis_names) == ("data",)
+    x = place({"self": {"query": {"kernel": np.zeros((4, 4), np.float32)}}})
+    assert x["self"]["query"]["kernel"].sharding.is_fully_replicated
+
+    mesh, place = cli_mesh_and_place((-1,), 2)
+    assert tuple(mesh.axis_names) == ("data", MODEL_AXIS)
+    assert dict(mesh.shape) == {"data": n // 2, MODEL_AXIS: 2}
+    x = place({"self": {"query": {"kernel": np.zeros((4, 4), np.float32)}}})
+    assert not x["self"]["query"]["kernel"].sharding.is_fully_replicated
+
+
 def test_tp_shard_skips_indivisible_dims():
     n = jax.device_count()
     mesh = make_mesh((n // 2, 2), ("data", MODEL_AXIS))

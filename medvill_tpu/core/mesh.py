@@ -134,10 +134,14 @@ def cli_mesh_and_place(mesh_shape: Sequence[int], model_parallel: int = 1):
     with replicated state, or — when ``model_parallel > 1`` — a 2-D
     ``(data, model)`` mesh with the state tensor-parallel-sharded via
     :func:`tp_shard`."""
+    from medvill_tpu.ops.flash_attention import set_attention_mesh
+
     if model_parallel and model_parallel > 1:
         mesh = make_mesh((-1, model_parallel), (DATA_AXIS, MODEL_AXIS))
+        set_attention_mesh(mesh)  # Pallas kernel runs per-shard (shard_map)
         return mesh, lambda tree: tp_shard(mesh, tree)
     mesh = make_mesh(mesh_shape)
+    set_attention_mesh(mesh)
     return mesh, lambda tree: replicate(mesh, tree)
 
 

@@ -47,3 +47,17 @@ def tiny_tokenizer():
     words = [f"word{i}" for i in range(50)]
     vocab = build_vocab(words)
     return BertTokenizer(vocab)
+
+
+@pytest.fixture(autouse=True)
+def _reset_attention_mesh():
+    """set_attention_mesh is process-global (one mesh per real run); reset
+    after each test so a CLI e2e or dryrun test cannot leak its mesh into
+    later tests."""
+    yield
+    try:
+        from medvill_tpu.ops.flash_attention import set_attention_mesh
+
+        set_attention_mesh(None)
+    except Exception:
+        pass

@@ -222,6 +222,47 @@ def test_tensor_parallel_decode_matches_replicated():
     np.testing.assert_array_equal(np.asarray(tp_ids), np.asarray(ref_ids))
 
 
+def test_sharded_attention_wrapper_matches_unwrapped():
+    """set_attention_mesh routes the kernel through shard_map (GSPMD cannot
+    partition the Mosaic custom call).  With dropout off, the wrapped path
+    must match the unwrapped one exactly — on the 1-D data mesh and on the
+    2-D (data, model) mesh with TP-sharded params."""
+    import dataclasses
+
+    from medvill_tpu.ops.flash_attention import set_attention_mesh
+
+    n = jax.device_count()
+    assert n >= 4
+    B = 8
+    cfg = _tiny_cfg(B)
+    cfg = dataclasses.replace(cfg, bert=dataclasses.replace(
+        cfg.bert, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0))
+    tx = optim.adamw(cfg.lr)
+    model, state0 = init_state(cfg, jax.random.PRNGKey(0), tx)
+    batch = _batch(B, cfg)
+    step = make_train_step(model, tx, cfg)
+    key = jax.random.PRNGKey(1)
+
+    dp_mesh = make_mesh((n,))
+    set_attention_mesh(None)
+    _, m_ref = jax.jit(step)(replicate(dp_mesh, state0),
+                             shard_batch(dp_mesh, batch), key)
+    loss_ref = float(m_ref["loss"])
+
+    set_attention_mesh(dp_mesh)
+    _, m_dp = jax.jit(step)(replicate(dp_mesh, state0),
+                            shard_batch(dp_mesh, batch), key)
+    np.testing.assert_allclose(float(m_dp["loss"]), loss_ref,
+                               rtol=1e-5, atol=1e-6)
+
+    tp_mesh = make_mesh((n // 2, 2), ("data", MODEL_AXIS))
+    set_attention_mesh(tp_mesh)
+    _, m_tp = jax.jit(step)(tp_shard(tp_mesh, state0),
+                            shard_batch(tp_mesh, batch), key)
+    np.testing.assert_allclose(float(m_tp["loss"]), loss_ref,
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_cli_mesh_and_place_modes():
     from medvill_tpu.core.mesh import cli_mesh_and_place
 

@@ -75,6 +75,10 @@ def build_parser():
     p.add_argument("--model_parallel", type=int, default=1,
                    help="tensor-parallel degree over a (data, model) mesh "
                         "(core/mesh.py::tp_shard); 1 = data parallel")
+    p.add_argument("--zero1", type=str2bool, default=False,
+                   help="ZeRO-1 optimizer-state sharding: Adam moments sharded "
+                        "over the data axis (core/mesh.py::zero1_shard); composes "
+                        "with --model_parallel")
     p.add_argument("--openi", type=str2bool, default=False)
     p.add_argument("--batch_sz", type=int, default=56)
     p.add_argument("--max_epochs", type=int, default=10)
@@ -172,7 +176,8 @@ def train(args) -> None:
                          / cfg.gradient_accumulation_steps * cfg.max_epochs))
 
     mesh, place_state = cli_mesh_and_place(
-        cfg.mesh_shape, max(1, getattr(args, "model_parallel", 1)))
+        cfg.mesh_shape, max(1, getattr(args, "model_parallel", 1)),
+        zero1=getattr(args, "zero1", False))
     model = classify.build_model(cfg, len(labels))
     import jax.numpy as jnp
     cls_id = tokenizer.vocab["[CLS]"]

@@ -101,6 +101,10 @@ def build_parser():
     p.add_argument("--model_parallel", type=int, default=1,
                    help="tensor-parallel degree over a (data, model) mesh "
                         "(core/mesh.py::tp_shard); 1 = data parallel")
+    p.add_argument("--zero1", type=str2bool, default=False,
+                   help="ZeRO-1 optimizer-state sharding: Adam moments sharded "
+                        "over the data axis (core/mesh.py::zero1_shard); composes "
+                        "with --model_parallel")
     p.add_argument("--log_file", type=str, default="training.log",
                    help="log filename under output_dir (reference "
                         "--log_file, finetune.py:223)")
@@ -223,7 +227,8 @@ def main(args) -> None:
                   // cfg.gradient_accumulation_steps)
 
     mp = max(1, getattr(args, "model_parallel", 1))
-    mesh, place_state = cli_mesh_and_place(cfg.mesh_shape, mp)
+    mesh, place_state = cli_mesh_and_place(
+        cfg.mesh_shape, mp, zero1=getattr(args, "zero1", False))
     model = ft.build_model(cfg)
     import jax.numpy as jnp
 

@@ -127,6 +127,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(core/mesh.py::tp_shard).  Requires "
                         "num_attention_heads %% N == 0.  Default 1 = pure "
                         "data parallelism (the reference's only strategy).")
+    p.add_argument("--zero1", type=str2bool, default=False,
+                   help="ZeRO-1 optimizer-state sharding: Adam moments "
+                        "sharded over the data axis "
+                        "(core/mesh.py::zero1_shard); composes with "
+                        "--model_parallel")
     p.add_argument("--freeze_img_trunk", type=str2bool, default=True,
                    help="freeze the entire ResNet trunk (the reference's "
                         "executed behavior: its children()[5:] unfreeze is "
@@ -194,7 +199,8 @@ def train(args) -> None:
         test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False)
 
     mp = max(1, getattr(args, "model_parallel", 1))
-    mesh, place_state = cli_mesh_and_place(cfg.mesh_shape, mp)
+    mesh, place_state = cli_mesh_and_place(
+        cfg.mesh_shape, mp, zero1=getattr(args, "zero1", False))
     tx = optim.accumulate(
         optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay),
         cfg.gradient_accumulation_steps)

@@ -59,6 +59,10 @@ def build_parser():
     p.add_argument("--model_parallel", type=int, default=1,
                    help="tensor-parallel degree over a (data, model) mesh "
                         "(core/mesh.py::tp_shard); 1 = data parallel")
+    p.add_argument("--zero1", type=str2bool, default=False,
+                   help="ZeRO-1 optimizer-state sharding: Adam moments sharded "
+                        "over the data axis (core/mesh.py::zero1_shard); composes "
+                        "with --model_parallel")
     p.add_argument("--num_workers", type=int, default=1,
                    help="eval-loader worker threads (reference "
                         "full_dset_retrieval.py:572-585 DataLoader "
@@ -116,7 +120,8 @@ def main(args) -> None:
                                                      3)))
 
     mesh, place_state = cli_mesh_and_place(
-        cfg.mesh_shape, max(1, getattr(args, "model_parallel", 1)))
+        cfg.mesh_shape, max(1, getattr(args, "model_parallel", 1)),
+        zero1=getattr(args, "zero1", False))
     import jax.numpy as jnp
     from medvill_tpu.train.pretrain import init_state
     from medvill_tpu.core.config import PretrainConfig

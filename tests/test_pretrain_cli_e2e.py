@@ -100,6 +100,33 @@ def test_pretrain_cli_tensor_parallel(tmp_path):
     assert losses and all(np.isfinite(losses)), rows
 
 
+def test_pretrain_cli_zero1(tmp_path):
+    """--zero1 composed with --model_parallel 2 and grad accumulation: the
+    full placement stack (tp_spec params + data-sharded Adam moments via
+    core/mesh.py::zero1_shard, optax.MultiSteps acc_grads on the base
+    placement) must train an epoch and checkpoint."""
+    from medvill_tpu.cli import pretrain_main
+    from medvill_tpu.core import checkpoint as ckpt_lib
+
+    train, vocab = _write_dataset(tmp_path)
+    out = tmp_path / "out_z1"
+    args = pretrain_main.build_parser().parse_args([
+        "--train_dataset", train, "--vocab_file", vocab,
+        "--output_path", str(out), "--bert_model", "test-tiny",
+        "--vocab_size", "32", "--epochs", "1", "--batch_size", "8",
+        "--num_image_embeds", "3", "--img_size", "64", "--seq_len", "7",
+        "--gradient_accumulation_steps", "2", "--num_workers", "0",
+        "--model_parallel", "2", "--zero1", "true",
+    ])
+    pretrain_main.train(args)
+    assert ckpt_lib.latest_epoch(str(out)) == 0
+    rows = [json.loads(l)
+            for l in open(os.path.join(str(out), "metrics.jsonl"))]
+    losses = [v for r in rows for k, v in r.items()
+              if isinstance(v, (int, float)) and "loss" in k]
+    assert losses and all(np.isfinite(losses)), rows
+
+
 def test_pretrain_cli_short_epoch_multi_dispatch(tmp_path):
     """An epoch with fewer batches than --steps_per_dispatch must still
     train (the tail batches flow through the single-step path) instead of

@@ -127,6 +127,35 @@ def test_pretrain_cli_zero1(tmp_path):
     assert losses and all(np.isfinite(losses)), rows
 
 
+def test_pretrain_cli_zero1_checkpoint_roundtrip(tmp_path):
+    """A checkpoint written from a zero1+TP-SHARDED state must restore into
+    a fresh run (the CLI restores on host, then re-places — so the orbax
+    tree written from sharded arrays has to read back into unplaced ones)."""
+    from medvill_tpu.cli import pretrain_main
+    from medvill_tpu.core import checkpoint as ckpt_lib
+
+    train, vocab = _write_dataset(tmp_path)
+    out1, out2 = tmp_path / "z1_a", tmp_path / "z1_b"
+    base = [
+        "--train_dataset", train, "--vocab_file", vocab,
+        "--bert_model", "test-tiny", "--vocab_size", "32",
+        "--epochs", "1", "--batch_size", "8", "--num_image_embeds", "3",
+        "--img_size", "64", "--seq_len", "7",
+        "--gradient_accumulation_steps", "1", "--num_workers", "0",
+        "--model_parallel", "2", "--zero1", "true",
+    ]
+    pretrain_main.train(pretrain_main.build_parser().parse_args(
+        base + ["--output_path", str(out1)]))
+    assert ckpt_lib.latest_epoch(str(out1)) == 0
+    # second run: weight_load from the sharded-save checkpoint
+    pretrain_main.train(pretrain_main.build_parser().parse_args(
+        base + ["--output_path", str(out2), "--weight_load", "true",
+                "--pre_trained_model_path", str(out1)]))
+    assert ckpt_lib.latest_epoch(str(out2)) == 0
+    log = open(os.path.join(str(out2), "train.log")).read()
+    assert "restored checkpoint epoch 0" in log, log
+
+
 def test_pretrain_cli_short_epoch_multi_dispatch(tmp_path):
     """An epoch with fewer batches than --steps_per_dispatch must still
     train (the tail batches flow through the single-step path) instead of

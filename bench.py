@@ -76,7 +76,11 @@ def bench_decode(batch: int = 8, iters: int = 3, beam: int = 1) -> None:
     # fence once at the end: per-iter host reads pay the remote-tunnel RTT
     t0 = time.perf_counter()
     outs = [run(variables, image)[0] for _ in range(iters)]
-    jax.block_until_ready(outs)
+    # the chip executes dispatches in order, so one host read of the LAST
+    # output retires the whole queue; block_until_ready returns before
+    # execution retires on this platform (see bench_pretrain) and would
+    # under-time the run
+    _ = int(np.asarray(outs[-1])[0, 0])
     dt = time.perf_counter() - t0
     toks_per_sec = batch * settings.max_txt_length * iters / dt
     mode = "greedy" if beam == 1 else f"beam {beam}"
@@ -156,9 +160,12 @@ def bench_finetune(batch: int = 16, iters: int = 8) -> None:
     t0 = time.perf_counter()
     for _ in range(iters):
         state, aux = step(state, dev_batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
+    # fence with a host READ of the last loss (dispatches chain through the
+    # donated state, so this retires every step): block_until_ready returns
+    # before execution retires on this platform and would under-time the
+    # run (see bench_pretrain's fence)
     _ = float(aux["loss"])
+    dt = time.perf_counter() - t0
     pairs_per_sec = batch * iters / dt
     print(json.dumps({
         "metric": "finetune_reportgen_pairs_per_sec_per_chip",

@@ -10,6 +10,7 @@ import os
 import jax
 import numpy as np
 
+from medvill_tpu.cli import add_parallelism_args, parallelism_kwargs
 from medvill_tpu.core.config import (BertConfig, ClassificationConfig,
                                      ImageEncoderConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
@@ -21,7 +22,8 @@ from medvill_tpu.data.pretrain import BatchLoader
 from medvill_tpu.data.tokenization import BertTokenizer
 from medvill_tpu.train import classify
 from medvill_tpu.train.pretrain import TrainState
-from medvill_tpu.utils.logging import MetricLogger, create_logger
+from medvill_tpu.utils.logging import (MetricLogger, create_logger,
+                                        drain_metrics)
 from medvill_tpu.utils.seed import set_seed, use_hardware_prng
 
 
@@ -72,13 +74,7 @@ def build_parser():
                    help="loader worker threads (reference --n_workers, "
                         "torch DataLoader num_workers; <=1 is the "
                         "deterministic shared-RNG-stream mode)")
-    p.add_argument("--model_parallel", type=int, default=1,
-                   help="tensor-parallel degree over a (data, model) mesh "
-                        "(core/mesh.py::tp_shard); 1 = data parallel")
-    p.add_argument("--zero1", type=str2bool, default=False,
-                   help="ZeRO-1 optimizer-state sharding: Adam moments sharded "
-                        "over the data axis (core/mesh.py::zero1_shard); composes "
-                        "with --model_parallel")
+    add_parallelism_args(p)
     p.add_argument("--openi", type=str2bool, default=False)
     p.add_argument("--batch_sz", type=int, default=56)
     p.add_argument("--max_epochs", type=int, default=10)
@@ -175,9 +171,8 @@ def train(args) -> None:
     t_total = max(1, int(len(train_ds) / cfg.batch_size
                          / cfg.gradient_accumulation_steps * cfg.max_epochs))
 
-    mesh, place_state = cli_mesh_and_place(
-        cfg.mesh_shape, max(1, getattr(args, "model_parallel", 1)),
-        zero1=getattr(args, "zero1", False))
+    mesh, place_state = cli_mesh_and_place(cfg.mesh_shape,
+                                           **parallelism_kwargs(args))
     model = classify.build_model(cfg, len(labels))
     import jax.numpy as jnp
     cls_id = tokenizer.vocab["[CLS]"]
@@ -237,7 +232,7 @@ def train(args) -> None:
             losses.append(loss)
         metrics, _, _ = classify.evaluate(eval_step, state, valid_loader,
                                           task_type=cfg.task_type)
-        metrics["train_loss"] = float(np.mean([float(l) for l in losses]))
+        metrics["train_loss"] = float(np.mean(drain_metrics(losses)))
         metrics_log.log({k: v for k, v in metrics.items()
                          if not isinstance(v, dict)}, step=epoch)
         logger.info("epoch %d: %s", epoch, metrics)

@@ -252,12 +252,10 @@ def run_one(args, logger, metrics_log, best: _Best,
         BertConfig.from_name(args.bert_model, args.vocab_size),
         new_segment_ids=args.new_segment_ids)
     if getattr(args, "relax_projection", False):
-        import dataclasses
         bert = dataclasses.replace(bert, relax_projection=4)
     if getattr(args, "config_path", None):
         bert = BertConfig.from_reference_json(args.config_path, base=bert)
     if getattr(args, "max_position_embeddings", 0) not in (0, None, 512):
-        import dataclasses
         bert = dataclasses.replace(
             bert, max_position_embeddings=args.max_position_embeddings)
     if args.max_seq_length is None:

@@ -11,6 +11,7 @@ import os
 import jax
 import numpy as np
 
+from medvill_tpu.cli import add_parallelism_args, parallelism_kwargs
 from medvill_tpu.core.config import (BertConfig, FinetuneConfig,
                                      ImageEncoderConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
@@ -23,7 +24,8 @@ from medvill_tpu.data.vqa import VQADataset
 from medvill_tpu.train import finetune as ft
 from medvill_tpu.train import optim
 from medvill_tpu.train.pretrain import TrainState
-from medvill_tpu.utils.logging import MetricLogger, create_logger
+from medvill_tpu.utils.logging import (MetricLogger, create_logger,
+                                        drain_metrics)
 from medvill_tpu.utils.seed import set_seed, use_hardware_prng
 
 
@@ -98,13 +100,7 @@ def build_parser():
     p.add_argument("--num_workers", type=int, default=1,
                    help="loader worker threads (reference DataLoader "
                         "num_workers, finetune.py:284-286)")
-    p.add_argument("--model_parallel", type=int, default=1,
-                   help="tensor-parallel degree over a (data, model) mesh "
-                        "(core/mesh.py::tp_shard); 1 = data parallel")
-    p.add_argument("--zero1", type=str2bool, default=False,
-                   help="ZeRO-1 optimizer-state sharding: Adam moments sharded "
-                        "over the data axis (core/mesh.py::zero1_shard); composes "
-                        "with --model_parallel")
+    add_parallelism_args(p)
     p.add_argument("--log_file", type=str, default="training.log",
                    help="log filename under output_dir (reference "
                         "--log_file, finetune.py:223)")
@@ -227,8 +223,8 @@ def main(args) -> None:
                   // cfg.gradient_accumulation_steps)
 
     mp = max(1, getattr(args, "model_parallel", 1))
-    mesh, place_state = cli_mesh_and_place(
-        cfg.mesh_shape, mp, zero1=getattr(args, "zero1", False))
+    mesh, place_state = cli_mesh_and_place(cfg.mesh_shape,
+                                           **parallelism_kwargs(args))
     model = ft.build_model(cfg)
     import jax.numpy as jnp
 
@@ -323,7 +319,7 @@ def main(args) -> None:
             # step and serialize the pipeline on dispatch latency
             for k, v in m.items():
                 agg.setdefault(k, []).append(v)
-        row = {k: float(np.mean([float(x) for x in v]))
+        row = {k: float(np.mean(drain_metrics(v)))
                for k, v in agg.items()}
         metrics_log.log(row, step=epoch)
         logger.info("epoch %d: %s", epoch, row)

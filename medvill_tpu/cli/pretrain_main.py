@@ -15,6 +15,7 @@ import time
 import jax
 import numpy as np
 
+from medvill_tpu.cli import add_parallelism_args, parallelism_kwargs
 from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                      PretrainConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
@@ -27,7 +28,8 @@ from medvill_tpu.train import optim
 from medvill_tpu.train.pretrain import (init_state, make_eval_step,
                                         make_multi_train_step,
                                         make_train_step)
-from medvill_tpu.utils.logging import MetricLogger, create_logger
+from medvill_tpu.utils.logging import (MetricLogger, create_logger,
+                                        drain_metrics)
 from medvill_tpu.utils.seed import set_seed, use_hardware_prng
 
 
@@ -119,19 +121,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train micro-steps fused into one jit dispatch via "
                         "lax.scan (amortizes per-dispatch overhead; 8 is a "
                         "good TPU value).  Epoch-tail batches that do not "
-                        "fill a group are dropped.")
-    p.add_argument("--model_parallel", type=int, default=1,
-                   help="tensor-parallel degree: lay the mesh out as "
-                        "(data, model) and shard the joint encoder "
-                        "Megatron-style over the model axis "
-                        "(core/mesh.py::tp_shard).  Requires "
-                        "num_attention_heads %% N == 0.  Default 1 = pure "
-                        "data parallelism (the reference's only strategy).")
-    p.add_argument("--zero1", type=str2bool, default=False,
-                   help="ZeRO-1 optimizer-state sharding: Adam moments "
-                        "sharded over the data axis "
-                        "(core/mesh.py::zero1_shard); composes with "
-                        "--model_parallel")
+                        "fill a group still train, individually, via a "
+                        "single-step dispatch.")
+    add_parallelism_args(p)
     p.add_argument("--freeze_img_trunk", type=str2bool, default=True,
                    help="freeze the entire ResNet trunk (the reference's "
                         "executed behavior: its children()[5:] unfreeze is "
@@ -199,8 +191,8 @@ def train(args) -> None:
         test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False)
 
     mp = max(1, getattr(args, "model_parallel", 1))
-    mesh, place_state = cli_mesh_and_place(
-        cfg.mesh_shape, mp, zero1=getattr(args, "zero1", False))
+    mesh, place_state = cli_mesh_and_place(cfg.mesh_shape,
+                                           **parallelism_kwargs(args))
     tx = optim.accumulate(
         optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay),
         cfg.gradient_accumulation_steps)
@@ -330,9 +322,9 @@ def train(args) -> None:
             if i % cfg.log_freq == 0:
                 logger.info("epoch %d it %d loss %.4f", epoch, i * k_disp,
                             float(np.asarray(m["loss"]).reshape(-1)[-1]))
-        agg = {k: [float(x) for val in v
-                   for x in np.asarray(val).reshape(-1)]
-               for k, v in agg.items()}  # [k_disp] or scalar per entry
+        # one D2H transfer per metric+shape (not per dispatch) — see
+        # utils/logging.py::drain_metrics
+        agg = {k: drain_metrics(v) for k, v in agg.items()}
         row = {f"avg_{k}": float(np.mean(v)) for k, v in agg.items()}
         if "mlm_correct" in agg:
             row["mlm_acc"] = (np.sum(agg["mlm_correct"])

@@ -9,6 +9,7 @@ import os
 import jax
 import numpy as np
 
+from medvill_tpu.cli import add_parallelism_args, parallelism_kwargs
 from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                      RetrievalConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
@@ -18,7 +19,8 @@ from medvill_tpu.data.retrieval import CXRRetrievalDataset, collate_pairs
 from medvill_tpu.data.tokenization import BertTokenizer
 from medvill_tpu.train import optim, retrieve
 from medvill_tpu.train.pretrain import TrainState
-from medvill_tpu.utils.logging import MetricLogger, create_logger
+from medvill_tpu.utils.logging import (MetricLogger, create_logger,
+                                        drain_metrics)
 from medvill_tpu.utils.seed import set_seed, use_hardware_prng
 
 
@@ -56,13 +58,7 @@ def build_parser():
                         "positionally unpacking row keys "
                         "(full_dset_retrieval.py:109-155) — our rows are "
                         "read by name, so both layouts just work")
-    p.add_argument("--model_parallel", type=int, default=1,
-                   help="tensor-parallel degree over a (data, model) mesh "
-                        "(core/mesh.py::tp_shard); 1 = data parallel")
-    p.add_argument("--zero1", type=str2bool, default=False,
-                   help="ZeRO-1 optimizer-state sharding: Adam moments sharded "
-                        "over the data axis (core/mesh.py::zero1_shard); composes "
-                        "with --model_parallel")
+    add_parallelism_args(p)
     p.add_argument("--num_workers", type=int, default=1,
                    help="eval-loader worker threads (reference "
                         "full_dset_retrieval.py:572-585 DataLoader "
@@ -119,9 +115,8 @@ def main(args) -> None:
                                  img_channel=getattr(args, "img_channel",
                                                      3)))
 
-    mesh, place_state = cli_mesh_and_place(
-        cfg.mesh_shape, max(1, getattr(args, "model_parallel", 1)),
-        zero1=getattr(args, "zero1", False))
+    mesh, place_state = cli_mesh_and_place(cfg.mesh_shape,
+                                           **parallelism_kwargs(args))
     import jax.numpy as jnp
     from medvill_tpu.train.pretrain import init_state
     from medvill_tpu.core.config import PretrainConfig
@@ -227,8 +222,8 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
                 # device values — float() here would host-sync every step
                 losses.append(m["loss"])
                 accs.append(m["acc"])
-            row = {"train_loss": float(np.mean([float(l) for l in losses])),
-                   "train_acc": float(np.mean([float(a) for a in accs]))}
+            row = {"train_loss": float(np.mean(drain_metrics(losses))),
+                   "train_acc": float(np.mean(drain_metrics(accs)))}
             metrics_log.log(row, step=epoch)
             logger.info("epoch %d: %s", epoch, row)
             ckpt_lib.save(cfg.output_path, epoch, jax.device_get(state),

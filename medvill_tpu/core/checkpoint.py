@@ -113,9 +113,17 @@ def restore_pretrained(state, tx, path: str, torch_loader, logger,
         logger.info("loaded torch %s checkpoint %s", what, p)
     else:
         epoch = latest_epoch(path)
-        if epoch is not None:
-            state = restore(path, epoch, state)
-            logger.info("restored %s checkpoint epoch %s", what, epoch)
+        if epoch is None:
+            # an explicit path that matches neither layout must fail loudly:
+            # falling through would silently evaluate/train the random-init
+            # model (e.g. a typo'd --load_pretrained_model scoring garbage
+            # retrieval metrics as if the published weights were loaded)
+            raise FileNotFoundError(
+                f"--{what} path {path!r} is neither a torch checkpoint "
+                "(.bin/.pth file or dir with pytorch_model.bin) nor an "
+                "orbax run dir with numbered epoch subdirs")
+        state = restore(path, epoch, state)
+        logger.info("restored %s checkpoint epoch %s", what, epoch)
     return state
 
 

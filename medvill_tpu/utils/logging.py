@@ -19,6 +19,27 @@ import time
 from typing import Any, Dict, Optional
 
 
+def drain_metrics(vals) -> list:
+    """Flatten a list of per-dispatch DEVICE metric values to host floats
+    with one device→host transfer per distinct entry shape (grouped
+    multi-step dispatches append [k]-vectors, epoch tails and single steps
+    scalars) instead of one transfer per dispatch.  The CLI train loops
+    deliberately keep metrics on device during the epoch (a per-step
+    ``float()`` serializes dispatch on the host RTT); this is the matching
+    epoch-end drain — per-entry ``np.asarray`` reads would stall an epoch
+    boundary by minutes on a remote-tunnel chip (26-60 ms/read)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    by_shape: Dict[tuple, list] = {}
+    for v in vals:
+        by_shape.setdefault(tuple(jnp.shape(v)), []).append(v)
+    out = []
+    for vs in by_shape.values():
+        out.extend(float(x) for x in np.asarray(jnp.stack(vs)).reshape(-1))
+    return out
+
+
 class ElapsedFormatter(logging.Formatter):
     """Prefix records with elapsed wall-clock (reference:
     utils/logger.py LogFormatter)."""

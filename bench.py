@@ -391,10 +391,36 @@ def bench_ab(cfg_a: str, cfg_b: str, reps: int = 3) -> None:
     }))
 
 
+def _probe_backend(timeout_s: int = 300) -> None:
+    """Fail fast (rc=1, clear stderr line) when the accelerator backend is
+    unreachable, instead of hanging the whole bench at device init: an
+    observed axon-tunnel outage hung backend init for hours, which would
+    silently eat the driver's entire time budget.  The probe runs in a
+    subprocess (the chip is single-tenant; the probe releases it on exit —
+    same pattern as the sub-mode benches)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE)
+    except subprocess.TimeoutExpired:
+        print("bench: backend init did not complete within "
+              f"{timeout_s}s — accelerator unreachable, aborting",
+              file=sys.stderr)
+        raise SystemExit(1)
+    if r.returncode != 0:
+        print("bench: backend init failed:\n"
+              + r.stderr.decode(errors="replace")[-2000:], file=sys.stderr)
+        raise SystemExit(1)
+
+
 def main() -> None:
     import os
 
     os.makedirs("/tmp/jax_cache", exist_ok=True)
+    _probe_backend()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from medvill_tpu.utils.seed import use_hardware_prng

@@ -96,3 +96,19 @@ def test_create_logger(tmp_path, capsys):
     logger = create_logger(str(tmp_path / "log.txt"), args=A())
     logger.info("hello")
     assert "hello" in (tmp_path / "log.txt").read_text()
+
+
+def test_drain_metrics_mixed_shapes():
+    """drain_metrics flattens mixed scalar / [k]-vector device entries to
+    host floats, preserving every value once (one D2H transfer per shape
+    group — the epoch-end drain for on-device metric accumulation)."""
+    import jax.numpy as jnp
+
+    from medvill_tpu.utils.logging import drain_metrics
+
+    vals = [jnp.float32(1.0), jnp.array([2.0, 3.0]), jnp.float32(4.0),
+            jnp.array([5.0, 6.0]), 7.0]
+    out = drain_metrics(vals)
+    assert sorted(out) == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]
+    assert all(isinstance(x, float) for x in out)
+    assert drain_metrics([]) == []

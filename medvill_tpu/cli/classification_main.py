@@ -162,6 +162,7 @@ def train(args) -> None:
     train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
                                seed=cfg.seed, workers=workers)
     valid_loader = BatchLoader(valid_ds, cfg.batch_size, shuffle=False,
+                               drop_last=False,
                                workers=workers)
 
     # pos_weight applies to the multilabel BCE only (reference
@@ -280,7 +281,8 @@ def train(args) -> None:
             test_path, tokenizer, labels, cfg.max_seq_len,
             cfg.num_image_embeds, cfg.img_size, openi=args.openi,
             task_type=cfg.task_type)
-        test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False)
+        test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False,
+                                  drop_last=False)
         metrics, _, _ = classify.evaluate(eval_step, state, test_loader,
                                           task_type=cfg.task_type)
         logger.info("test: %s", metrics)

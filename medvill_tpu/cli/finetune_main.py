@@ -332,7 +332,8 @@ def main(args) -> None:
         # (reference: model.py:1021-1041)
         test_ds = VQADataset(cfg, tokenizer, args.src_file, split="test",
                              image_root=args.image_root, seed=cfg.seed)
-        test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False)
+        test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False,
+                                  drop_last=False)
         eval_step = jax.jit(ft.make_vqa_eval_step(model, cfg))
         results = ft.vqa_evaluate(eval_step, state, test_loader)
         logger.info("vqa eval: %s", results)

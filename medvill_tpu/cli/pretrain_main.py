@@ -188,6 +188,9 @@ def train(args) -> None:
     if cfg.test_dataset:
         test_ds = CXRPretrainDataset(cfg.test_dataset, tokenizer, cfg,
                                      seed=cfg.seed + 1)
+        # drop_last stays True here: the pretrain eval step runs SHARDED
+        # (shard_batch over the mesh), so tail batches must keep the
+        # mesh-divisible static shape
         test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False)
 
     mp = max(1, getattr(args, "model_parallel", 1))

@@ -234,7 +234,8 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
                                               cfg, is_train=False,
                                               cxr_bert=cxr_bert)
                 eval_loader = BatchLoader(eval_ds, cfg.batch_size,
-                                          shuffle=False, workers=workers)
+                                          shuffle=False, workers=workers,
+                                          drop_last=False)
                 score_step = jax.jit(make_score(model, cfg))
                 res = retrieve.run_retrieval_eval(
                     score_step, state, eval_loader, cfg.eval_len_size,
@@ -249,7 +250,7 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
         eval_ds = CXRRetrievalDataset(test_path, tokenizer, cfg,
                                       is_train=False, cxr_bert=cxr_bert)
         eval_loader = BatchLoader(eval_ds, cfg.batch_size, shuffle=False,
-                                  workers=workers)
+                                  workers=workers, drop_last=False)
         score_step = jax.jit(make_score(model, cfg))
         results = retrieve.run_retrieval_eval(
             score_step, state, eval_loader, cfg.eval_len_size,

@@ -29,19 +29,6 @@ def to_float(img: np.ndarray) -> np.ndarray:
     return img.astype(np.float32)
 
 
-def resize(img: np.ndarray, size: int) -> np.ndarray:
-    """Bilinear resize to (size, size) via PIL (matches torchvision
-    Resize for square inputs; reference images are square 512x512)."""
-    from PIL import Image
-
-    if img.shape[0] == size and img.shape[1] == size:
-        return img
-    pil = Image.fromarray((img * 255.0).clip(0, 255).astype(np.uint8)
-                          if img.dtype != np.uint8 else img)
-    pil = pil.resize((size, size), Image.BILINEAR)
-    return np.asarray(pil)
-
-
 def load_image(path: str, size: int, channels: int = 3,
                grayscale_to_rgb: bool = False,
                do_resize: bool = True) -> np.ndarray:

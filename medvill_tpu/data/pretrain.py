@@ -138,7 +138,7 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, num_shards: int = 1, shard_index: int = 0,
-                 workers: int = 1):
+                 workers: int = 1, drop_last: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -146,6 +146,14 @@ class BatchLoader:
         self.epoch = 0
         self.num_shards = num_shards
         self.shard_index = shard_index
+        # drop_last=True (default) keeps every batch the same static shape —
+        # the jitted+sharded train step compiles once and tail batches can't
+        # break mesh divisibility.  Eval loaders whose consumers place with
+        # plain jnp.asarray pass drop_last=False so metrics cover EVERY
+        # example like the reference's eval DataLoaders (torch default
+        # drop_last=False) — e.g. the retrieval pools, where a dropped tail
+        # silently discards the final query from Hit@K/MRR.
+        self.drop_last = drop_last
         # workers>1 fetches the samples of each batch through a thread pool
         # — the DataLoader(num_workers=N) equivalent (main_origin.py:52-54).
         # The hot per-sample ops (PIL JPEG decode, the native wordpiece
@@ -160,7 +168,13 @@ class BatchLoader:
         self._pool = None
 
     def __len__(self) -> int:
-        return len(self.dataset) // (self.batch_size * self.num_shards)
+        if self.drop_last:
+            # global floor, NOT per-shard: every host shard must yield the
+            # SAME number of batches or multi-host collectives deadlock
+            return len(self.dataset) // (self.batch_size * self.num_shards)
+        shard_len = len(range(self.shard_index, len(self.dataset),
+                              self.num_shards))
+        return -(-shard_len // self.batch_size)
 
     def _fetch(self, idxs) -> List[Dict[str, np.ndarray]]:
         if self.workers > 1:
@@ -218,27 +232,52 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         END = object()
         err: List = []
+        # consumer-abandonment protocol: a plain q.put would block the
+        # producer forever when the consumer stops iterating early (break,
+        # early-stop), leaking the thread plus depth+1 prefetched —
+        # possibly device-placed — batches per abandoned epoch
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
         def worker():
             try:
                 for batch in self.loader:
                     if self.place_fn is not None:
                         batch = self.place_fn(batch)
-                    q.put(batch)
+                    if not put(batch):
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(END)
+                put(END)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is END:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is END:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # runs on GeneratorExit too: release the producer and drop any
+            # queued batches so their (device) buffers free promptly
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def synthetic_records(n: int, rng: Optional[random.Random] = None,

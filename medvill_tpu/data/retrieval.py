@@ -97,6 +97,11 @@ class CXRRetrievalDataset:
 
     def _random_other(self, idx: int, rng: random.Random):
         """(full_dset_retrieval.py:164-170: uniform over all-but-idx)."""
+        if len(self.data) < 2:
+            # the reference crashes here too (random.choice([]) IndexError,
+            # full_dset_retrieval.py:165-166); fail with a message
+            raise ValueError("retrieval training needs >= 2 records to "
+                             "sample a negative pair")
         j = rng.randrange(len(self.data) - 1)
         if j >= idx:
             j += 1
@@ -123,6 +128,16 @@ class CXRRetrievalDataset:
                         else:
                             neg_img, neg_txt = d_img, r_txt
                         break
+                else:
+                    # all 300 tries shared the anchor's label (the reference
+                    # hits UnboundLocalError here, full_dset_retrieval.py:
+                    # 119-128); degrade to a same-label DIFFERENT record as
+                    # a hard negative rather than emitting the positive pair
+                    # itself labeled is_aligned=0
+                    if rng.random() > 0.5:
+                        neg_img, neg_txt = r_img, d_txt
+                    else:
+                        neg_img, neg_txt = d_img, r_txt
             else:
                 r_label, r_txt, r_img = self._random_other(idx, rng)
                 if rng.random() > 0.5:

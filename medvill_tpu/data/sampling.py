@@ -30,9 +30,12 @@ def random_word(tokens: List[int], vocab_len: int, mask_id: int,
             output_label.append(token)
         else:
             output_label.append(-100)
-    if all(o == -100 for o in output_label):
+    if tokens and all(o == -100 for o in output_label):
         output_label[0] = tokens[0]
         tokens[0] = mask_id
+    # empty `tokens` (e.g. a record whose text tokenizes to nothing) returns
+    # ([], []) instead of IndexError-ing the loader; the reference would
+    # crash here too (dataset_origin.py:205-207 indexes [0] unguarded)
     return tokens, output_label
 
 

@@ -51,6 +51,14 @@ def load_vqa_entries(dataroot: str, split: str, organ_filter: str = "all"
         answers = sorted(pickle.load(f), key=lambda x: x["qid"])
     with open(os.path.join(dataroot, "imgid2idx.json")) as f:
         img_id2idx = json.load(f)
+    # hardening beyond the reference (data_loader.py:177-187 zips the two
+    # sorted lists blindly): a missing/extra qid in either file would pair
+    # every later question with the wrong soft answer target silently
+    if len(samples) != len(answers) or any(
+            s["qid"] != a["qid"] for s, a in zip(samples, answers)):
+        raise ValueError(
+            f"{split}set.json and cache/{split}_target.pkl disagree on "
+            "qids — answers would silently misalign")
     entries = []
     for sample, answer in zip(samples, answers):
         organ = str(sample.get("image_organ", "")).strip()

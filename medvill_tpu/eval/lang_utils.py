@@ -30,7 +30,10 @@ def language_eval(preds: Sequence[Dict], model_id: str = "",
             score, _ = scorer.compute_score(gts, res)
             out[name] = float(score)
         return out
-    except ImportError:
+    except (ImportError, OSError):
+        # OSError/FileNotFoundError too: Meteor() spawns a java subprocess,
+        # so pycocoevalcap being importable does not guarantee it runs —
+        # the promised native-BLEU fallback must cover a missing JVM as well
         from medvill_tpu.eval.bleu import language_eval_bleu
 
         return language_eval_bleu(list(preds))

@@ -65,6 +65,9 @@ def compute_recall_precision(similarities: np.ndarray, labels: np.ndarray,
         precision.append(float(np.mean(p_lst)))
     return {
         "recall": {f"R@{k}": round(v, 3) for k, v in zip(ks, recall)},
+        # yes, the precision values are keyed "R@k" too — that is the
+        # reference's own (quirky) dump format, kept for log compatibility
+        # (full_dset_retrieval.py:309-313: 'i2t_precision': {"R@1": ...})
         "precision": {f"R@{k}": round(v, 3) for k, v in zip(ks, precision)},
     }
 

@@ -25,7 +25,6 @@ import optax
 from medvill_tpu.core.config import PretrainConfig
 from medvill_tpu.models.cxrbert import CXRBERT
 from medvill_tpu.train import optim
-from medvill_tpu.train.losses import cross_entropy_ignore_index
 
 
 @flax.struct.dataclass

@@ -178,6 +178,15 @@ def run_retrieval_eval(score_step, state, batches, eval_len_size: int,
     scores = np.concatenate(scores)
     labels = np.concatenate(labels)
     n = (len(scores) // eval_len_size) * eval_len_size
+    if n != len(scores):
+        # the eval loaders run drop_last=False so every candidate arrives;
+        # a remainder here means the dataset itself isn't a whole number of
+        # query pools — surface it instead of silently dropping a query
+        import warnings
+
+        warnings.warn(
+            f"retrieval eval: {len(scores) - n} trailing candidates do not "
+            f"fill an eval_len_size={eval_len_size} pool and are excluded")
     sim = scores[:n].reshape(-1, eval_len_size)
     lab = labels[:n].reshape(-1, eval_len_size)
     hits, mrr, rp = evaluate_retrieval(sim, lab, direction)

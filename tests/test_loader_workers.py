@@ -105,3 +105,76 @@ def test_retrieval_fetch_rng_override():
     for xa, xb in ((pa, pb), (na, nb)):
         for k in xa:
             np.testing.assert_array_equal(xa[k], xb[k], err_msg=k)
+
+
+def test_drop_last_false_yields_all_samples():
+    """Eval loaders pass drop_last=False so metrics cover every example
+    (reference eval DataLoaders default drop_last=False); the tail batch is
+    ragged.  drop_last=True (default) keeps the old floor semantics."""
+    cfg = _pretrain_cfg()
+    ds = CXRPretrainDataset(synthetic_records(14), _tokenizer(), cfg,
+                            seed=0, image_loader=_stub_image())
+    full = BatchLoader(ds, 4, shuffle=False, drop_last=False)
+    assert len(full) == 4
+    sizes = [b["input_txt"].shape[0] for b in full]
+    assert sizes == [4, 4, 4, 2]
+    dropped = BatchLoader(ds, 4, shuffle=False)
+    assert len(dropped) == 3
+    assert [b["input_txt"].shape[0] for b in dropped] == [4, 4, 4]
+
+
+def test_prefetch_loader_releases_producer_on_early_exit():
+    """Abandoning a PrefetchLoader iterator mid-epoch must not leave the
+    producer thread blocked on a full queue holding prefetched batches."""
+    import threading
+    import time
+
+    from medvill_tpu.data.pretrain import PrefetchLoader
+
+    produced = []
+
+    def slow_batches():
+        for i in range(50):
+            produced.append(i)
+            yield {"x": np.full((2,), i)}
+
+    before = threading.active_count()
+    it = iter(PrefetchLoader(slow_batches(), depth=1))
+    assert next(it)["x"][0] == 0
+    it.close()  # GeneratorExit -> stop event + queue drain
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+    assert len(produced) < 50, "producer ran the whole epoch after abandon"
+
+
+def test_retrieval_label_conditioned_exhausted_negatives():
+    """When every other record shares the anchor's label, the negative
+    degrades to a same-label DIFFERENT record (the reference hits
+    UnboundLocalError here) — never the positive pair itself re-labeled 0."""
+    recs = [dict(id=str(i), split="train", label="'Normal'",
+                 text=f"report number {i}", img=f"/img/{i}.png")
+            for i in range(3)]
+    cfg = RetrievalConfig(seq_len=7, batch_size=2,
+                          bert=BertConfig.test_tiny(vocab_size=64),
+                          image=ImageEncoderConfig(img_size=8,
+                                                   num_image_embeds=3))
+    seen_imgs = {}
+    ds = CXRRetrievalDataset(recs, _tokenizer(), cfg, is_train=True,
+                             label_conditioned=True,
+                             image_loader=lambda p: seen_imgs.setdefault(
+                                 p, np.full((8, 8, 3), len(seen_imgs),
+                                            np.float32)))
+    idx, pos, neg = ds.fetch(0, random.Random(0))
+    assert neg["is_aligned"] == 0
+    # the negative must differ from the positive in text or image
+    assert (not np.array_equal(neg["input_txt"], pos["input_txt"])
+            or not np.array_equal(neg["image"], pos["image"]))
+
+
+def test_random_word_empty_tokens():
+    from medvill_tpu.data.sampling import random_word
+
+    toks, labels = random_word([], 64, 4, random.Random(0))
+    assert toks == [] and labels == []

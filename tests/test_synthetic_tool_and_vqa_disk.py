@@ -105,3 +105,22 @@ def test_vqa_cli_end_to_end(tree, tmp_path):
     assert losses and all(np.isfinite(losses)), rows
     evals = [r for r in rows if "vqa_acc" in r]
     assert evals, rows
+
+
+def test_load_vqa_entries_qid_mismatch_raises(tree, tmp_path):
+    """A question/answer file pair that disagrees on qids must raise instead
+    of zip-misaligning every subsequent soft target (hardening beyond the
+    reference's blind zip, data_loader.py:177)."""
+    import pickle
+    import shutil
+
+    from medvill_tpu.data.vqa import load_vqa_entries
+
+    root = str(tmp_path / "vqa_bad")
+    shutil.copytree(os.path.join(tree, "vqa"), root)
+    with open(os.path.join(root, "cache", "train_target.pkl"), "rb") as f:
+        answers = pickle.load(f)
+    with open(os.path.join(root, "cache", "train_target.pkl"), "wb") as f:
+        pickle.dump(answers[:-1], f)  # one missing qid
+    with pytest.raises(ValueError, match="qid"):
+        load_vqa_entries(root, "train", "all")

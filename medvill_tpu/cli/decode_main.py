@@ -92,6 +92,17 @@ def build_parser():
                    help="'|'-separated words whose ids are exempt from "
                         "duplicate-ngram forbidding; [x] forms are "
                         "uppercased (generation_decode.py:351-358)")
+    p.add_argument("--decode_positions", type=str, default="reference",
+                   choices=["reference", "train", "global"],
+                   help="text-window position-id semantics: 'reference' = "
+                        "what the reference decoder executes (each 2-token "
+                        "window embedded at positions 0/1 — its embeddings "
+                        "never consume the preprocessor's position tensor, "
+                        "model.py:1113-1121; token-exact-parity-tested); "
+                        "'train' = slot j at position j, consistent with "
+                        "the training forward (best for models finetuned "
+                        "in this framework); 'global' = the preprocessor's "
+                        "arange layout")
     p.add_argument("--len_vis_input", type=int, default=256)
     p.add_argument("--img_size", type=int, default=512)
     p.add_argument("--max_seq_length", type=int, default=None,
@@ -172,7 +183,8 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
         min_len=int(getattr(args, "min_len", 0) or 0),
         forbid_ignore_ids=forbid_ignore_ids,
         sample_mode="sample" if getattr(args, "do_sample", False)
-        else "greedy")
+        else "greedy",
+        window_positions=getattr(args, "decode_positions", "reference"))
     if settings.sample_mode == "sample" and args.beam_size > 1:
         # the reference samples only in its non-beam loop (model.py:1213);
         # fail loudly rather than silently doing deterministic beam search

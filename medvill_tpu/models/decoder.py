@@ -22,9 +22,15 @@ sc/pytorch_pretrained_bert/model.py:1132-1487) built TPU-first:
   locked against a NumPy transcription in tests/test_beam_oracle.py).
 
 Decode-time geometry (sc/data_loader.py:476-528 with max_a_len ==
-len_vis_input): position ids are simply ``arange`` over
-``[CLS] img [SEP] txt...``; token types 4 (image segment) / 5 (text) under
-new_segment_ids.
+len_vis_input): token types 4 (image segment) / 5 (text) under
+new_segment_ids.  Text-window POSITION ids are subtle: the preprocessor
+builds an ``arange`` position tensor, but the reference decoder never
+consumes it — its embeddings default to arange over each 2-token window
+(positions 0/1 every step; model.py:1113-1121), which is also inconsistent
+with the reference's own TRAIN forward (text positions restart at 0 over
+the whole text segment).  ``DecodeSettings.window_positions`` selects among
+the three semantics; the default reproduces the reference's executed
+behavior token-exactly (tests/test_reference_decode_parity.py).
 """
 from __future__ import annotations
 
@@ -60,6 +66,24 @@ class DecodeSettings:
     # (reference: model.py:1205-1215 sample_mode); sampling needs an rng
     # passed to greedy_decode
     sample_mode: str = "greedy"
+    # Position ids given to the 2-token (committed, probe) text window:
+    #  'reference' (default): what the reference decoder EXECUTES — its
+    #    CXRBertDecoder calls txt_embeddings WITHOUT position_ids
+    #    (model.py:1113-1121), so the vendored embeddings default to
+    #    arange(window): the step-0 probe sits at position 0 and every
+    #    later window at (0, 1).  The position_ids tensor the decode
+    #    preprocessor builds (data_loader.py:499-505) is sliced by the
+    #    greedy/beam loops but never consumed.  Token-exact parity proven
+    #    against the reference's own code in
+    #    tests/test_reference_decode_parity.py.
+    #  'train': text slot j at position j — consistent with the TRAIN
+    #    forward of both frameworks (text positions restart at 0,
+    #    model.py:972/our seq2seq.py __call__), i.e. what a model finetuned
+    #    here actually learned; the quality-preferred mode for new models.
+    #  'global': text slot j at position len_vis+2+j — the layout of the
+    #    preprocessor's (unconsumed) position_ids tensor; kept for
+    #    comparison with earlier rounds of this framework.
+    window_positions: str = "reference"
 
     @property
     def img_type_id(self) -> int:
@@ -85,6 +109,28 @@ def _prefill_bias(vis: int, L: int, dtype=jnp.float32):
     sc/data_loader.py:524)."""
     c = jax.lax.broadcasted_iota(jnp.int32, (1, 1, vis, L), 3)
     return jnp.where(c < vis, 0.0, NEG).astype(dtype)
+
+
+def _window_positions(settings: "DecodeSettings", vis: int, t,
+                      n_rows: int) -> jnp.ndarray:
+    """[n_rows, 2] position ids for the (committed, probe) window at text
+    step ``t`` under ``settings.window_positions`` (see DecodeSettings).
+    The t==0 committed slot always re-encodes [SEP] at its prefill position
+    vis-1 so the cache overwrite is a no-op in every mode."""
+    mode = settings.window_positions
+    if mode == "reference":
+        pos_a = jnp.where(t == 0, vis - 1, 0)
+        pos_b = jnp.where(t == 0, 0, 1)
+    elif mode == "train":
+        pos_a = jnp.where(t == 0, vis - 1, t - 1)
+        pos_b = t
+    elif mode == "global":
+        pos_a = vis - 1 + t
+        pos_b = vis + t
+    else:
+        raise ValueError(f"window_positions: {mode!r}")
+    pos = jnp.stack([jnp.asarray(pos_a), jnp.asarray(pos_b)])
+    return jnp.broadcast_to(pos[None, :], (n_rows, 2)).astype(jnp.int32)
 
 
 def _sep_last_ids(cls_id: int, sep_id: int, B: int, vis: int):
@@ -140,8 +186,7 @@ def greedy_decode(model: VLPForPreTraining, variables, image,
         window_ids = jnp.stack(
             [tok_a, jnp.full((B,), settings.mask_word_id, jnp.int32)],
             axis=1)
-        pos = jnp.stack([jnp.full((B,), vis - 1, jnp.int32) + t,
-                         jnp.full((B,), vis, jnp.int32) + t], axis=1)
+        pos = _window_positions(settings, vis, t, B)
         types = jnp.where(
             (t == 0) & (jnp.arange(2)[None, :] == 0),
             settings.img_type_id, settings.txt_type_id).astype(jnp.int32)
@@ -275,8 +320,7 @@ def beam_search(model: VLPForPreTraining, variables, image,
         window_ids = jnp.stack(
             [prev_committed,
              jnp.full((BK,), settings.mask_word_id, jnp.int32)], axis=1)
-        pos = jnp.stack([jnp.full((BK,), vis - 1, jnp.int32) + t,
-                         jnp.full((BK,), vis, jnp.int32) + t], axis=1)
+        pos = _window_positions(settings, vis, t, BK)
         types = jnp.broadcast_to(
             jnp.where((t == 0) & (jnp.arange(2)[None, :] == 0),
                       settings.img_type_id,

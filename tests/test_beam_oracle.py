@@ -198,7 +198,8 @@ def reference_beam_search(probe, B, V, settings):
 def _pick_eos(cfg, model, variables, img):
     """Pick a token the model actually emits mid-sequence so EOS events
     exercise the finished-beam paths."""
-    settings = DecodeSettings(max_txt_length=T, mask_word_id=4, eos_id=-1)
+    settings = DecodeSettings(max_txt_length=T, mask_word_id=4, eos_id=-1,
+                              window_positions="global")
     out, _, _ = greedy_decode(model, variables, img, settings, 2, 3)
     return int(np.asarray(out)[0, 2])
 
@@ -208,7 +209,10 @@ def test_beam_matches_reference_transcription(tiny_vlp, case):
     cfg, model, variables, img = tiny_vlp
     B, V, K = img.shape[0], cfg.bert.vocab_size, 3
     eos = _pick_eos(cfg, model, variables, img)
-    kwargs = dict(max_txt_length=T, mask_word_id=4, eos_id=eos, beam_size=K)
+    # the NumPy oracle's probe re-encodes prefixes at 'global' positions —
+    # pin that mode (the beam SEARCH logic under test is position-agnostic)
+    kwargs = dict(max_txt_length=T, mask_word_id=4, eos_id=eos, beam_size=K,
+                  window_positions="global")
     if case == "penalty_minlen":
         kwargs.update(length_penalty=0.7, min_len=2)
     if case == "ngram":

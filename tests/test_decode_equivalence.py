@@ -91,7 +91,12 @@ def reference_no_reuse_decode(cfg, model, variables, img, settings,
 
 def test_greedy_matches_no_reuse(tiny_vlp):
     cfg, model, variables, img = tiny_vlp
-    settings = DecodeSettings(max_txt_length=T, mask_word_id=4, eos_id=3)
+    # the no-reuse oracle re-encodes the prefix at 'global' positions, so
+    # pin that mode (KV-cache equivalence is position-scheme-independent;
+    # the default 'reference' scheme is proven against the reference's own
+    # code in tests/test_reference_decode_parity.py)
+    settings = DecodeSettings(max_txt_length=T, mask_word_id=4, eos_id=3,
+                              window_positions="global")
     out_ids, _, _ = jax.jit(
         lambda im: greedy_decode(model, variables, im, settings, 2, 3))(img)
     want = reference_no_reuse_decode(cfg, model, variables, img, settings,

@@ -79,10 +79,9 @@ def _import_vendored_model():
     base = "/root/reference/Downstream_task/report_generation_and_vqa"
     if base not in sys.path:
         sys.path.insert(0, base)
-    from sc.pytorch_pretrained_bert.model import (BertConfig as VendoredCfg,
-                                                  BertForPreTrainingLossMask)
+    import sc.pytorch_pretrained_bert.model as vendored
 
-    return BertForPreTrainingLossMask, VendoredCfg
+    return vendored
 
 
 # allowed-missing on load_state_dict: tensors the reference model owns but a
@@ -97,7 +96,9 @@ _OK_MISSING_PREFIXES = ("img_embeddings.token_type_embeddings",
 
 
 def test_exported_finetune_checkpoint_drives_vendored_model():
-    RefVLP, VendoredCfg = _import_vendored_model()
+    vendored = _import_vendored_model()
+    RefVLP, VendoredCfg = (vendored.BertForPreTrainingLossMask,
+                           vendored.BertConfig)
 
     cfg = FinetuneConfig(
         bert=BertConfig.vlp(BertConfig.test_tiny(vocab_size=VOCAB)),

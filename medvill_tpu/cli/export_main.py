@@ -36,7 +36,8 @@ def parse_args(argv=None):
     p.add_argument("--epoch", type=int, default=None,
                    help="epoch to export (default: latest)")
     p.add_argument("--kind", default="auto",
-                   choices=["auto", "pretrain", "finetune", "cnn_bert"],
+                   choices=["auto", "pretrain", "finetune", "mmbt",
+                            "cnn_bert"],
                    help="target torch layout (auto-detected from the tree)")
     p.add_argument("--output", required=True,
                    help="output .bin/.pth file, or a directory (writes "

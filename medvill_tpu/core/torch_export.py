@@ -226,21 +226,41 @@ def export_cnn_bert_state_dict(params: dict, batch_stats: dict) -> StateDict:
     return out
 
 
+def export_mmbt_state_dict(params: dict, batch_stats: dict) -> StateDict:
+    """MMBT classification checkpoint (MultimodalBertClf layout,
+    Classification/mmbt/models/mmbt.py:45-114: ``enc.txt_embeddings.*
+    enc.img_embeddings.img_embeddings.* enc.img_encoder.model.*
+    enc.encoder.layer.* enc.pooler.* clf.*``; the reference's inner
+    ``enc.clf`` Linear is never used in forward and is not exported)."""
+    out: StateDict = {}
+    _export_joint(out, params["enc"], batch_stats.get("enc", {}),
+                  emb_prefix="enc.txt_embeddings",
+                  img_prefix="enc.img_embeddings.img_embeddings",
+                  trunk_prefix="enc.img_encoder",
+                  enc_prefix="enc.encoder", pool_prefix="enc.pooler")
+    if "clf" in params:
+        _lin(out, "clf", params["clf"]["clf"])
+    return out
+
+
 def detect_kind(params: dict) -> str:
     """Infer which reference layout a restored param tree maps to."""
     if "enc" in params and ("mlm" in params or "itm" in params):
         return "pretrain"
+    if "enc" in params and "clf" in params:
+        return "mmbt"
     if "bert" in params:
         return "finetune"
     if "txt_encoder" in params:
         return "cnn_bert"
     raise ValueError(
         f"unrecognized param tree (top-level keys {sorted(params)}) — "
-        "expected a CXRBERT pretrain / VLP finetune / CNN_BERT state")
+        "expected a CXRBERT pretrain / MMBT / VLP finetune / CNN_BERT state")
 
 
 EXPORTERS = {"pretrain": export_cxrbert_state_dict,
              "finetune": export_vlp_state_dict,
+             "mmbt": export_mmbt_state_dict,
              "cnn_bert": export_cnn_bert_state_dict}
 
 

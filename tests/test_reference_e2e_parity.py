@@ -67,8 +67,14 @@ def _load_reference_cxrbert():
                 max_position_embeddings=512, hidden_act="gelu")
     mbert.BertConfig.from_pretrained = classmethod(
         lambda cls, *a, **k: cls(**tiny))
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    # purge cached 'models' packages (the reference repo has several
+    # top-level ones; other parity tests may have imported a different one)
+    for name in list(sys.modules):
+        if name == "models" or name.startswith("models."):
+            del sys.modules[name]
+    if "/root/reference" in sys.path:
+        sys.path.remove("/root/reference")
+    sys.path.insert(0, "/root/reference")
     from models.cxrbert_origin import CXRBERT as RefCXRBERT
 
     args = types.SimpleNamespace(

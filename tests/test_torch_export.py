@@ -139,6 +139,7 @@ def test_export_cli_from_orbax(tmp_path):
 
 def test_detect_kind():
     assert torch_export.detect_kind({"enc": {}, "mlm": {}}) == "pretrain"
+    assert torch_export.detect_kind({"enc": {}, "clf": {}}) == "mmbt"
     assert torch_export.detect_kind({"bert": {}, "cls": {}}) == "finetune"
     assert torch_export.detect_kind({"txt_encoder": {}}) == "cnn_bert"
     with pytest.raises(ValueError):

@@ -60,10 +60,24 @@ def main(argv=None) -> str:
     args = parse_args(argv)
     path = resolve_epoch_dir(args.checkpoint, args.epoch)
     # restore untyped: the saved TrainState dict {step, params, batch_stats,
-    # opt_state} (core/checkpoint.py::save) comes back as nested numpy
+    # opt_state} (core/checkpoint.py::save) comes back as nested numpy.
+    # Restore ONLY params/batch_stats — opt_state is ~2x the params (Adam
+    # mu/nu) and export never needs it, so a partial restore cuts I/O and
+    # host RAM ~3x for real-size checkpoints.
+    import jax
     import orbax.checkpoint as ocp
 
-    state = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    abspath = os.path.abspath(path)
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        meta_tree = getattr(getattr(ckptr.metadata(abspath), "item_metadata",
+                                    None), "tree", None)
+        if isinstance(meta_tree, dict) and "params" in meta_tree:
+            skeleton = {k: jax.tree.map(lambda _: 0, meta_tree[k])
+                        for k in ("params", "batch_stats") if k in meta_tree}
+            state = ckptr.restore(abspath, args=ocp.args.PyTreeRestore(
+                item=skeleton, partial_restore=True))
+        else:  # bare param tree (no TrainState wrapper)
+            state = ckptr.restore(abspath)
     params = state["params"] if isinstance(state, dict) and "params" in state \
         else state
     batch_stats = state.get("batch_stats", {}) if isinstance(state, dict) \

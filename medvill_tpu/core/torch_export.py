@@ -153,12 +153,21 @@ def _export_mlm_head(out: StateDict, prefix: str, head: dict,
 
 
 def _export_joint(out: StateDict, params: dict, batch_stats: dict,
-                  emb_prefix: str, img_prefix: str, trunk_prefix: str,
-                  enc_prefix: str, pool_prefix: str) -> None:
+                  emb_prefix: str, img_prefix: str | None,
+                  trunk_prefix: str | None, enc_prefix: str,
+                  pool_prefix: str) -> None:
+    """``img_prefix``/``trunk_prefix`` of None skip the image path (the
+    CNN_BERT text encoder has none)."""
     _export_embeddings(out, emb_prefix, params["embeddings"])
-    if "img_projection" in params:
+    if img_prefix is not None and "img_projection" in params:
         _lin(out, img_prefix, params["img_projection"])
-    if "img_encoder" in params and "conv1" in params["img_encoder"]:
+    if trunk_prefix is not None and "img_encoder" in params \
+            and "conv1" in params["img_encoder"]:
+        if "img_encoder" not in batch_stats:
+            raise ValueError(
+                "checkpoint has ResNet trunk params but no batch_stats "
+                "(BatchNorm running stats) — export needs the TrainState "
+                "layout core.checkpoint.save writes, not a bare param tree")
         _export_trunk(out, trunk_prefix, params["img_encoder"],
                       batch_stats["img_encoder"])
     _export_encoder(out, enc_prefix, params["encoder"])
@@ -213,14 +222,17 @@ def export_cnn_bert_state_dict(params: dict, batch_stats: dict) -> StateDict:
     _export_joint(out, params["txt_encoder"],
                   batch_stats.get("txt_encoder", {}),
                   emb_prefix="txt_enc.txt_embeddings",
-                  img_prefix="txt_enc.img_projection_unused",
-                  trunk_prefix="txt_enc.img_encoder_unused",
+                  img_prefix=None, trunk_prefix=None,
                   enc_prefix="txt_enc.encoder", pool_prefix="txt_enc.pooler")
-    # the text encoder has no image path — drop any accidental keys
-    out = {k: v for k, v in out.items() if "unused" not in k}
     if "img_encoder" in params:
+        trunk_stats = batch_stats.get("img_encoder", {}).get("trunk")
+        if trunk_stats is None:
+            raise ValueError(
+                "CNN_BERT checkpoint has trunk params but no batch_stats — "
+                "export needs the TrainState layout core.checkpoint.save "
+                "writes, not a bare param tree")
         _export_trunk(out, "img_enc", params["img_encoder"]["trunk"],
-                      batch_stats["img_encoder"]["trunk"])
+                      trunk_stats)
     if "fc" in params:
         _lin(out, "linear", params["fc"])
     return out
@@ -264,12 +276,20 @@ EXPORTERS = {"pretrain": export_cxrbert_state_dict,
              "cnn_bert": export_cnn_bert_state_dict}
 
 
+def to_torch_tensors(sd: StateDict) -> dict:
+    """Flat numpy state_dict -> torch tensors (shared by the save path and
+    the reference-parity tests so both apply the same copy/dtype rule)."""
+    import torch
+
+    # copy=True: jax device_get arrays are non-writable and torch tensors
+    # cannot alias them
+    return {k: torch.from_numpy(np.array(v, copy=True))
+            for k, v in sd.items()}
+
+
 def save_torch_checkpoint(sd: StateDict, path: str) -> None:
     """``torch.save`` a flat numpy state_dict as tensors (the format every
     reference ``torch.load`` site reads)."""
     import torch
 
-    # copy=True: jax device_get arrays are non-writable and torch tensors
-    # cannot alias them
-    torch.save({k: torch.from_numpy(np.array(v, copy=True))
-                for k, v in sd.items()}, path)
+    torch.save(to_torch_tensors(sd), path)

@@ -154,6 +154,14 @@ class BatchLoader:
         # drop_last=False) — e.g. the retrieval pools, where a dropped tail
         # silently discards the final query from Hit@K/MRR.
         self.drop_last = drop_last
+        if not drop_last and num_shards > 1:
+            # per-shard ceil can differ across shards (9 samples, 2 shards,
+            # batch 4 -> 2 vs 1 batches): a sharded step/collective on the
+            # extra batch would deadlock the hosts that already exited
+            raise ValueError(
+                "drop_last=False with num_shards>1 can yield unequal batch "
+                "counts across hosts; run full-coverage eval unsharded or "
+                "use drop_last=True for sharded loops")
         # workers>1 fetches the samples of each batch through a thread pool
         # — the DataLoader(num_workers=N) equivalent (main_origin.py:52-54).
         # The hot per-sample ops (PIL JPEG decode, the native wordpiece
@@ -250,6 +258,12 @@ class PrefetchLoader:
         def worker():
             try:
                 for batch in self.loader:
+                    # re-check after each fetch: a put that races the
+                    # consumer's drain can succeed into the freed slot, and
+                    # without this the worker would fetch AND device-place
+                    # one more batch post-abandon
+                    if stop.is_set():
+                        return
                     if self.place_fn is not None:
                         batch = self.place_fn(batch)
                     if not put(batch):
@@ -273,11 +287,20 @@ class PrefetchLoader:
             # runs on GeneratorExit too: release the producer and drop any
             # queued batches so their (device) buffers free promptly
             stop.set()
-            try:
-                while True:
-                    q.get_nowait()
-            except queue.Empty:
-                pass
+
+            def drain():
+                try:
+                    while True:
+                        q.get_nowait()
+                except queue.Empty:
+                    pass
+
+            drain()
+            # one racing put can land in the slot the drain just freed;
+            # join the (now stop-aware) producer and drain again so no
+            # device-placed batch outlives the abandonment
+            t.join(timeout=2.0)
+            drain()
 
 
 def synthetic_records(n: int, rng: Optional[random.Random] = None,

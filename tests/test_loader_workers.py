@@ -8,6 +8,7 @@ sequential stream that the RNG-parity tests pin down."""
 import random
 
 import numpy as np
+import pytest
 
 from medvill_tpu.core.config import (BertConfig, FinetuneConfig,
                                      ImageEncoderConfig, PretrainConfig,
@@ -121,6 +122,18 @@ def test_drop_last_false_yields_all_samples():
     dropped = BatchLoader(ds, 4, shuffle=False)
     assert len(dropped) == 3
     assert [b["input_txt"].shape[0] for b in dropped] == [4, 4, 4]
+
+
+def test_drop_last_false_rejects_sharding():
+    """Per-shard ceil can differ across shards (9 samples / 2 shards /
+    batch 4 -> 2 vs 1 batches), deadlocking multi-host collectives — the
+    combination must be rejected loudly at construction."""
+    cfg = _pretrain_cfg()
+    ds = CXRPretrainDataset(synthetic_records(9), _tokenizer(), cfg,
+                            seed=0, image_loader=_stub_image())
+    with pytest.raises(ValueError, match="drop_last"):
+        BatchLoader(ds, 4, shuffle=False, drop_last=False,
+                    num_shards=2, shard_index=0)
 
 
 def test_prefetch_loader_releases_producer_on_early_exit():

@@ -30,6 +30,7 @@ B, HID, VOCAB, IMG, TXT = 2, 32, 64, 64, 10
 
 
 def _load_reference_cnn_bert():
+    from tests.ref_support import reference_on_path, tiny_bert_from_pretrained
     from tests.test_reference_vlp_parity import _import_vendored_model
 
     _import_vendored_model()  # torchvision/transformers/wandb shims
@@ -38,34 +39,28 @@ def _load_reference_cnn_bert():
     tiny = dict(hidden_size=HID, num_hidden_layers=2, num_attention_heads=2,
                 intermediate_size=64, vocab_size=VOCAB,
                 max_position_embeddings=512, hidden_act="gelu")
-    mbert.BertConfig.from_pretrained = classmethod(
-        lambda cls, *a, **k: cls(**tiny))
     # modern transformers keeps AutoConfig in configuration_auto, not
     # modeling_auto (the v3-era location main_cnn_bert.py:27 imports from)
     import transformers.models.auto.modeling_auto as mauto
 
     if not hasattr(mauto, "AutoConfig"):
         mauto.AutoConfig = transformers.AutoConfig
-    for name in list(sys.modules):
-        if name in ("main_cnn_bert", "data", "data.helper"):
-            del sys.modules[name]
-    for p in ("/root/reference/CNN_BERT", "/root/reference"):
-        if p in sys.path:
-            sys.path.remove(p)
-        sys.path.insert(0, p)
-    import main_cnn_bert as ref_mod
-
-    args = types.SimpleNamespace(
-        bert_model="bert-base-scratch", img_hidden_sz=2048, hidden_size=HID,
-        vocab_size=VOCAB)
     cfg = mbert.BertConfig(**tiny)
     # the reference casts its additive mask to fp16 unconditionally
     # (main_cnn_bert.py:169) — modern torch SDPA rejects a half mask with a
     # float query, so run HF's eager attention (what transformers v3, the
     # reference's era, always did: mask ADDED to the scores)
     cfg._attn_implementation = "eager"
-    mbert.BertConfig.from_pretrained = classmethod(lambda c, *a, **k: cfg)
-    return ref_mod.CNN_BERT(cfg, args).eval()
+    with reference_on_path(
+            ["/root/reference/CNN_BERT", "/root/reference"],
+            purge=("main_cnn_bert", "data", "models")), \
+            tiny_bert_from_pretrained(cfg):
+        import main_cnn_bert as ref_mod
+
+        args = types.SimpleNamespace(
+            bert_model="bert-base-scratch", img_hidden_sz=2048,
+            hidden_size=HID, vocab_size=VOCAB)
+        return ref_mod.CNN_BERT(cfg, args).eval()
 
 
 def test_exported_cnn_bert_checkpoint_drives_reference_model():
@@ -86,10 +81,11 @@ def test_exported_cnn_bert_checkpoint_drives_reference_model():
     params = jax.device_get(variables["params"])
     batch_stats = jax.device_get(variables.get("batch_stats", {}))
 
+    from tests.ref_support import to_torch
+
     sd = torch_export.export_cnn_bert_state_dict(params, batch_stats)
     assert torch_export.detect_kind(params) == "cnn_bert"
-    tensors = {k: torch.from_numpy(np.array(v, copy=True))
-               for k, v in sd.items()}
+    tensors = to_torch(sd)
     result = ref.load_state_dict(tensors, strict=False)
     assert not result.unexpected_keys, result.unexpected_keys
     for k in result.missing_keys:  # HF buffer names only

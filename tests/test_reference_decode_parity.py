@@ -104,10 +104,11 @@ def test_greedy_decode_matches_reference_token_exact():
     # (generation_decode.py:384-388) == our torch_remap('finetune_to_decoder')
     from medvill_tpu.core.checkpoint import torch_remap
 
+    from tests.ref_support import to_torch
+
     sd = torch_export.export_vlp_state_dict(params, batch_stats)
     sd = torch_remap(sd, "finetune_to_decoder")
-    tensors = {k: torch.from_numpy(np.array(v, copy=True))
-               for k, v in sd.items()}
+    tensors = to_torch(sd)
     result = ref.load_state_dict(tensors, strict=False)
     assert not result.unexpected_keys, result.unexpected_keys
     for k in result.missing_keys:  # shared-module aliases + unused NSP head

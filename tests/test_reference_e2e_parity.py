@@ -62,29 +62,23 @@ def _load_reference_cxrbert():
     bench_ref_cpu._install_shims()
     import transformers.models.bert.modeling_bert as mbert
 
+    from tests.ref_support import reference_on_path, tiny_bert_from_pretrained
+
     tiny = dict(hidden_size=HID, num_hidden_layers=2, num_attention_heads=2,
                 intermediate_size=64, vocab_size=VOCAB,
                 max_position_embeddings=512, hidden_act="gelu")
-    mbert.BertConfig.from_pretrained = classmethod(
-        lambda cls, *a, **k: cls(**tiny))
-    # purge cached 'models' packages (the reference repo has several
-    # top-level ones; other parity tests may have imported a different one)
-    for name in list(sys.modules):
-        if name == "models" or name.startswith("models."):
-            del sys.modules[name]
-    if "/root/reference" in sys.path:
-        sys.path.remove("/root/reference")
-    sys.path.insert(0, "/root/reference")
-    from models.cxrbert_origin import CXRBERT as RefCXRBERT
-
-    args = types.SimpleNamespace(
-        bert_model="bert-base-scratch", img_encoder="cnn",
-        img_hidden_sz=2048, embedding_size=HID, hidden_size=HID,
-        dropout_prob=0.1, img_postion=True, disturbing_mask=False,
-        num_image_embeds=N_EMB, img_size=IMG, vocab_size=VOCAB,
-        img_channel=3, seq_len=SEQ_LEN)
     config = mbert.BertConfig(**tiny)
-    return RefCXRBERT(config, args).eval()
+    with reference_on_path(["/root/reference"]), \
+            tiny_bert_from_pretrained(config):
+        from models.cxrbert_origin import CXRBERT as RefCXRBERT
+
+        args = types.SimpleNamespace(
+            bert_model="bert-base-scratch", img_encoder="cnn",
+            img_hidden_sz=2048, embedding_size=HID, hidden_size=HID,
+            dropout_prob=0.1, img_postion=True, disturbing_mask=False,
+            num_image_embeds=N_EMB, img_size=IMG, vocab_size=VOCAB,
+            img_channel=3, seq_len=SEQ_LEN)
+        return RefCXRBERT(config, args).eval()
 
 
 # state_dict names load_state_dict may miss without harm: buffers modern
@@ -109,9 +103,10 @@ def test_exported_checkpoint_drives_reference_model():
     params = jax.device_get(state.params)
     batch_stats = jax.device_get(state.batch_stats)
 
+    from tests.ref_support import to_torch
+
     sd = torch_export.export_cxrbert_state_dict(params, batch_stats)
-    tensors = {k: torch.from_numpy(np.array(v, copy=True))
-               for k, v in sd.items()}
+    tensors = to_torch(sd)
     result = ref.load_state_dict(tensors, strict=False)
     assert not result.unexpected_keys, result.unexpected_keys
     for k in result.missing_keys:

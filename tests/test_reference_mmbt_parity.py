@@ -37,20 +37,8 @@ TXT = 10
 CLS, SEP = 2, 3
 
 
-def _purged_reference_import(pkg_root: str):
-    """Prepend ``pkg_root`` and purge cached ``models``/``data``/``utils``
-    packages so the right reference subtree resolves (the repo has several
-    top-level ``models`` packages; parity tests for different subtrees can
-    run in one pytest process)."""
-    for name in list(sys.modules):
-        if name == "models" or name.startswith("models."):
-            del sys.modules[name]
-    if pkg_root in sys.path:
-        sys.path.remove(pkg_root)
-    sys.path.insert(0, pkg_root)
-
-
 def _load_reference_mmbt():
+    from tests.ref_support import reference_on_path, tiny_bert_from_pretrained
     from tests.test_reference_vlp_parity import _import_vendored_model
 
     _import_vendored_model()  # installs the torchvision/transformers shims
@@ -59,18 +47,17 @@ def _load_reference_mmbt():
     tiny = dict(hidden_size=HID, num_hidden_layers=2, num_attention_heads=2,
                 intermediate_size=64, vocab_size=VOCAB,
                 max_position_embeddings=512, hidden_act="gelu")
-    mbert.BertConfig.from_pretrained = classmethod(
-        lambda cls, *a, **k: cls(**tiny))
-    _purged_reference_import(
-        "/root/reference/Downstream_task/Classification/mmbt")
-    from models.mmbt import MultimodalBertClf as RefClf
+    with reference_on_path(
+            ["/root/reference/Downstream_task/Classification/mmbt"]), \
+            tiny_bert_from_pretrained(mbert.BertConfig(**tiny)):
+        from models.mmbt import MultimodalBertClf as RefClf
 
-    args = types.SimpleNamespace(
-        init_model="bert-base-scratch", img_hidden_sz=2048, hidden_sz=HID,
-        dropout=0.1, num_image_embeds=N_EMB, img_embed_pool_type="avg",
-        n_classes=N_CLS,
-        vocab=types.SimpleNamespace(stoi={"[CLS]": CLS, "[SEP]": SEP}))
-    return RefClf(args).eval()
+        args = types.SimpleNamespace(
+            init_model="bert-base-scratch", img_hidden_sz=2048, hidden_sz=HID,
+            dropout=0.1, num_image_embeds=N_EMB, img_embed_pool_type="avg",
+            n_classes=N_CLS,
+            vocab=types.SimpleNamespace(stoi={"[CLS]": CLS, "[SEP]": SEP}))
+        return RefClf(args).eval()
 
 
 _OK_MISSING_PREFIXES = (
@@ -110,10 +97,11 @@ def test_exported_mmbt_checkpoint_drives_reference_model():
     params = jax.device_get(variables["params"])
     batch_stats = jax.device_get(variables.get("batch_stats", {}))
 
+    from tests.ref_support import to_torch
+
     sd = torch_export.export_mmbt_state_dict(params, batch_stats)
     assert torch_export.detect_kind(params) == "mmbt"
-    tensors = {k: torch.from_numpy(np.array(v, copy=True))
-               for k, v in sd.items()}
+    tensors = to_torch(sd)
     result = ref.load_state_dict(tensors, strict=False)
     assert not result.unexpected_keys, result.unexpected_keys
     for k in result.missing_keys:

@@ -76,10 +76,13 @@ def _import_vendored_model():
         six.inf = float("inf")
         sys.modules["torch._six"] = six
 
+    from tests.ref_support import reference_on_path
+
     base = "/root/reference/Downstream_task/report_generation_and_vqa"
-    if base not in sys.path:
-        sys.path.insert(0, base)
-    import sc.pytorch_pretrained_bert.model as vendored
+    # purge=(): 'sc' is an unambiguous name — keep it cached across parity
+    # tests; only the sys.path prepend is scoped
+    with reference_on_path([base], purge=()):
+        import sc.pytorch_pretrained_bert.model as vendored
 
     return vendored
 
@@ -126,9 +129,10 @@ def test_exported_finetune_checkpoint_drives_vendored_model():
         vocab_size=VOCAB)
     ref = RefVLP(vcfg, args, len_vis_input=VIS, tasks="img2txt").eval()
 
+    from tests.ref_support import to_torch
+
     sd = torch_export.export_vlp_state_dict(params, batch_stats)
-    tensors = {k: torch.from_numpy(np.array(v, copy=True))
-               for k, v in sd.items()}
+    tensors = to_torch(sd)
     result = ref.load_state_dict(tensors, strict=False)
     assert not result.unexpected_keys, result.unexpected_keys
     for k in result.missing_keys:

@@ -137,6 +137,16 @@ def test_export_cli_from_orbax(tmp_path):
             ["embedding"]), np.float32))
 
 
+def test_export_without_batch_stats_raises_clearly():
+    """A bare param tree (no TrainState batch_stats) cannot export any
+    trunk-bearing layout — the error must say why, not KeyError deep in
+    _export_trunk."""
+    _, state = _tiny_pretrain_state(0)
+    params = jax.device_get(state.params)
+    with pytest.raises(ValueError, match="batch_stats"):
+        torch_export.export_cxrbert_state_dict(params, {})
+
+
 def test_detect_kind():
     assert torch_export.detect_kind({"enc": {}, "mlm": {}}) == "pretrain"
     assert torch_export.detect_kind({"enc": {}, "clf": {}}) == "mmbt"

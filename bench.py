@@ -188,6 +188,9 @@ def bench_pretrain(batch: int = 48, steps: int = 120, mode: str = "k60",
       k<N>                         N micro-steps per jit dispatch (default
                                    10; k1 = one dispatch per step, the
                                    pre-round-3 behavior)
+      hpbbwd<N>                    attention-bwd heads per kernel instance
+                                   (sets MEDVILL_ATTN_HPB_BWD for this
+                                   config's trace; default auto = 4)
 
     Default = the measured-fastest config: batch 48, no remat, k=60
     micro-steps/dispatch (paired A/B medians: k60 = 351.5, k30 = 349.4,
@@ -209,6 +212,13 @@ def bench_pretrain(batch: int = 48, steps: int = 120, mode: str = "k60",
         if t.startswith("k") and t[1:].isdigit():
             k = int(t[1:])
     k = max(1, min(k, steps))
+    # env knob read at trace time by ops/flash_attention._flash_bwd; set it
+    # per-config so `bench.py ab` can pair it against the auto default
+    import os
+    os.environ.pop("MEDVILL_ATTN_HPB_BWD", None)
+    for t in tokens:
+        if t.startswith("hpbbwd") and t[6:].isdigit():
+            os.environ["MEDVILL_ATTN_HPB_BWD"] = t[6:]
     if not quiet:
         print(json.dumps({"note": "pretrain config", "batch": batch,
                           "steps": steps, "mode": mode or "default"}),

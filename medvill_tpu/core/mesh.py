@@ -36,11 +36,25 @@ def batch_pspec(mesh: Mesh) -> P:
     return P(DATA_AXIS)
 
 
+def _put_sharded(mesh: Mesh, x, spec: P):
+    """Single-process: plain device_put.  Multi-process: each host holds
+    only ITS loader shard (BatchLoader(num_shards, shard_index) — the
+    DistributedSampler equivalent), so the global array is assembled from
+    the per-process locals; device_put would reject the local-vs-global
+    shape mismatch."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, x)
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host pytree batch with the leading dim sharded over `data`."""
+    """Place a host pytree batch with the leading dim sharded over `data`.
+    Under multi-process runs ``batch`` is this host's loader shard; the
+    result is the global [sum-of-host-batches, ...] array."""
     def put(x):
         spec = P(DATA_AXIS, *([None] * (np.ndim(x) - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _put_sharded(mesh, x, spec)
     return jax.tree_util.tree_map(put, batch)
 
 
@@ -51,7 +65,7 @@ def shard_stacked_batch(mesh: Mesh, batch: Any) -> Any:
     `data`)."""
     def put(x):
         spec = P(None, DATA_AXIS, *([None] * (np.ndim(x) - 2)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _put_sharded(mesh, x, spec)
     return jax.tree_util.tree_map(put, batch)
 
 
@@ -220,8 +234,20 @@ def multihost_initialize() -> None:
     multi = multi or len([w for w in workers.split(",") if w.strip()]) > 1
     if not multi:
         return  # single-process run: nothing to do
+    # generic (non-TPU-pod) clusters: jax's argless initialize() only
+    # auto-detects recognized environments (TPU pod metadata, SLURM, ...);
+    # when the coordinator is configured via env vars, pass them explicitly
+    # (proven end-to-end by tests/test_multiprocess_dp.py on 2 CPU processes)
+    kwargs = {}
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if addr and nproc is not None and pid is not None:
+        kwargs = dict(coordinator_address=addr, num_processes=int(nproc),
+                      process_id=int(pid))
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
         if "already initialized" not in str(e).lower():
             raise

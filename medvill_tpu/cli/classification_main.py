@@ -265,8 +265,9 @@ def train(args) -> None:
             else:
                 w.writerow(["acc"])
                 w.writerow([metrics["acc"]])
-        ckpt_lib.save(savedir, epoch, jax.device_get(state),
-                      config=vars(args), best=improved)
+        if ckpt_lib.is_saving_process(state):
+            ckpt_lib.save(savedir, epoch, state,
+                          config=vars(args), best=improved)
         if n_no_improve >= cfg.patience:
             logger.info("No improvement. Breaking out of loop.")
             break

@@ -323,9 +323,10 @@ def main(args) -> None:
                for k, v in agg.items()}
         metrics_log.log(row, step=epoch)
         logger.info("epoch %d: %s", epoch, row)
-        if jax.process_index() == 0:  # rank-0 save (finetune.py:474-487)
-            ckpt_lib.save(cfg.output_dir, epoch, jax.device_get(state),
-                          config=vars(args))
+        # rank-0 save (finetune.py:474-487); all hosts when shards cross
+        # processes (--zero1 multi-host)
+        if ckpt_lib.is_saving_process(state):
+            ckpt_lib.save(cfg.output_dir, epoch, state, config=vars(args))
 
     if cfg.task == "vqa" and args.vqa_eval:
         # open/closed soft-score accuracy on the test split

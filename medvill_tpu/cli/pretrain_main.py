@@ -350,9 +350,10 @@ def train(args) -> None:
             metrics_log.log(erow, step=epoch)
             logger.info("epoch %d eval: %s", epoch, erow)
 
-        if jax.process_index() == 0:
-            ckpt_lib.save(cfg.output_path, epoch, jax.device_get(state),
-                          config=vars(args))
+        # rank 0 for replicated state; every host when shards cross
+        # processes (--zero1 multi-host: orbax writes per-host shards)
+        if ckpt_lib.is_saving_process(state):
+            ckpt_lib.save(cfg.output_path, epoch, state, config=vars(args))
     metrics_log.finish()
 
 

@@ -226,8 +226,9 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
                    "train_acc": float(np.mean(drain_metrics(accs)))}
             metrics_log.log(row, step=epoch)
             logger.info("epoch %d: %s", epoch, row)
-            ckpt_lib.save(cfg.output_path, epoch, jax.device_get(state),
-                          config=vars(args))
+            if ckpt_lib.is_saving_process(state):
+                ckpt_lib.save(cfg.output_path, epoch, state,
+                              config=vars(args))
             if args.eval_during_training and valid_path:
                 # reference: full_dset_retrieval.py:415-458 (valid pool)
                 eval_ds = CXRRetrievalDataset(valid_path, tokenizer,

@@ -36,6 +36,28 @@ def _checkpointer():
 _ASYNC_CKPT = None
 
 
+def fully_addressable(state: Any) -> bool:
+    """True when every array leaf is fully addressable from this process
+    (single-process runs, or multi-process with purely replicated state).
+    False when shards live on other hosts — e.g. ZeRO-1 moments sharded
+    over a data axis that spans processes."""
+    for leaf in jax.tree_util.tree_leaves(state):
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            return False
+    return True
+
+
+def is_saving_process(state: Any) -> bool:
+    """Which processes must call :func:`save` for this state.
+
+    Fully-addressable state: rank 0 only (the reference's rank-0 convention,
+    sc/finetune.py:474-487 — avoids duplicate writes).  Cross-process-sharded
+    state (ZeRO-1/TP over multiple hosts): EVERY process, so orbax's
+    distributed array writer can commit each host's shards (requires a
+    filesystem all hosts see, the standard pod setup)."""
+    return jax.process_index() == 0 or not fully_addressable(state)
+
+
 def save(directory: str, epoch: int, state: Any,
          config: Optional[dict] = None, best: bool = False,
          async_save: bool = False) -> str:
@@ -45,29 +67,35 @@ def save(directory: str, epoch: int, state: Any,
     ``async_save=True`` returns as soon as the device arrays are snapshotted
     and writes in the background (orbax async; the next save waits for the
     previous one) — training is not blocked on filesystem I/O.
+
+    Cross-process-sharded state is passed to orbax as live jax.Arrays (its
+    distributed writer commits per-host shards); ``jax.device_get`` of such
+    a tree would raise.  All processes must then call save — see
+    :func:`is_saving_process`.
     """
     global _ASYNC_CKPT
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, str(epoch))
+    host_state = jax.device_get(state) if fully_addressable(state) else state
+    rank0 = jax.process_index() == 0
     if async_save and not best:  # best-copy needs the finished write
         if _ASYNC_CKPT is None:
             _ASYNC_CKPT = _checkpointer()
         ckpt = _ASYNC_CKPT
         ckpt.wait_until_finished()  # at most one write in flight
-        ckpt.save(path, jax.device_get(state), force=True)
-        if config is not None:
+        ckpt.save(path, host_state, force=True)
+        if config is not None and rank0:
             with open(os.path.join(directory, "config.json"), "w") as f:
                 json.dump(config, f, indent=2, default=str)
         return path
     ckpt = _checkpointer()
-    state = jax.device_get(state)
-    ckpt.save(path, state, force=True)
+    ckpt.save(path, host_state, force=True)
     ckpt.wait_until_finished()
-    if config is not None:
+    if config is not None and rank0:
         with open(os.path.join(directory, "config.json"), "w") as f:
             json.dump(config, f, indent=2, default=str)
-    if best:
+    if best and rank0:
         best_path = os.path.join(directory, "best")
         if os.path.exists(best_path):
             shutil.rmtree(best_path)

@@ -19,6 +19,7 @@ import os
 import sys
 
 proc_id, port = int(sys.argv[1]), sys.argv[2]
+ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else None
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -112,4 +113,47 @@ for i, host_batch in enumerate(loader):
     loss = float(np.asarray(jax.device_get(metrics["loss"])))
     assert np.isfinite(loss)
     print(f"LOSS {proc_id} {i} {loss:.6f}", flush=True)
+
+if ckpt_dir:
+    # --- ZeRO-1 across processes: the Adam moments shard over a data axis
+    # that SPANS both hosts, so state is no longer fully addressable; the
+    # train step's moment update + delta all-gather and the orbax
+    # distributed checkpoint writer must both span hosts too.
+    from medvill_tpu.core import checkpoint as ckpt_lib
+    from medvill_tpu.core.mesh import zero1_shard
+
+    zstate = zero1_shard(mesh, state)
+    assert not ckpt_lib.fully_addressable(zstate), \
+        "zero1 moments should cross processes on this mesh"
+    assert ckpt_lib.is_saving_process(zstate)  # every host writes its shards
+    key, sub = jax.random.split(key)
+    zstate, zmetrics = step(zstate, shard_batch(mesh, host_batch), sub)
+    zloss = float(np.asarray(jax.device_get(zmetrics["loss"])))
+    assert np.isfinite(zloss)
+    print(f"ZLOSS {proc_id} {zloss:.6f}", flush=True)
+
+    path = ckpt_lib.save(ckpt_dir, 0, zstate, config={"multihost": True})
+    # untyped restore brings the moments back in their SAVED cross-process
+    # sharded layout — reduce them with a jitted global sum (the replicated
+    # scalar is addressable everywhere), proving the restored arrays are
+    # computable distributed arrays, not just bytes
+    import jax.numpy as jnp
+
+    restored = ckpt_lib._checkpointer().restore(os.path.abspath(path))
+    cksum = np.float64(0)
+    for x in jax.tree_util.tree_leaves(restored["opt_state"]):
+        if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype,
+                                                       jnp.floating):
+            cksum += float(jax.jit(lambda a: jnp.sum(jnp.abs(a)))(x))
+    print(f"CKSUM {proc_id} {cksum:.6e}", flush=True)
+    # the restored params must equal the live post-step ones bit-exactly;
+    # compare with a jitted global reduction (after a zero1 step jit may
+    # leave even params output-sharded across processes, so a host-side
+    # device_get comparison is not possible)
+    def _assert_eq(a, b):
+        assert bool(jax.jit(lambda x, y: jnp.all(x == y))(a, b)), \
+            "restored param differs from live param"
+
+    jax.tree_util.tree_map(_assert_eq, restored["params"], zstate.params)
+
 print(f"DONE {proc_id}", flush=True)

@@ -29,14 +29,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_data_parallel_train_step():
+def test_two_process_data_parallel_train_step(tmp_path):
     port = str(_free_port())
     env = dict(os.environ)
     # the driver sets its own platform/coordinator env; strip the conftest's
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
+    ckpt_dir = str(tmp_path / "ckpt")  # same FS for both processes
     procs = [subprocess.Popen(
-        [sys.executable, DRIVER, str(i), port],
+        [sys.executable, DRIVER, str(i), port, ckpt_dir],
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True) for i in range(2)]
     outs = []
@@ -51,10 +52,13 @@ def test_two_process_data_parallel_train_step():
     for rc, out, err in outs:
         assert rc == 0, (out[-2000:], err[-4000:])
         assert "DONE" in out, out
-    # DDP invariant: identical losses on both hosts, both steps
-    losses = []
-    for _, out, _ in outs:
-        losses.append([line.split()[-1] for line in out.splitlines()
-                       if line.startswith("LOSS")])
-    assert len(losses[0]) == 2, outs[0][1]
-    assert losses[0] == losses[1], losses
+    # DDP invariant: identical losses on both hosts, both steps — and the
+    # same for the cross-process ZeRO-1 step and the distributed-checkpoint
+    # roundtrip checksum
+    for tag, count in (("LOSS", 2), ("ZLOSS", 1), ("CKSUM", 1)):
+        vals = []
+        for _, out, _ in outs:
+            vals.append([line.split()[-1] for line in out.splitlines()
+                         if line.startswith(tag + " ")])
+        assert len(vals[0]) == count, (tag, outs[0][1])
+        assert vals[0] == vals[1], (tag, vals)

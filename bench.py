@@ -95,11 +95,14 @@ def bench_decode(batch: int = 8, iters: int = 3, beam: int = 1) -> None:
     }))
 
 
-def bench_finetune(batch: int = 16, iters: int = 8) -> None:
+def bench_finetune(batch: int = 16, iters: int = 8, k: int = 15) -> None:
     """Report-generation finetune train-step throughput (pairs/sec/chip) at
     the reference config point: VLP BERT-base, 256 image embeds @512px,
     max_seq 512, label smoothing 0.1, BertAdam (reference: sc/finetune.py:
-    63-71,124 — batch 2/GPU there; per-chip batch is a flag here)."""
+    63-71,124 — batch 2/GPU there; per-chip batch is a flag here).
+
+    ``k`` micro-steps run per jit dispatch (the CLI's --steps_per_dispatch
+    machinery; k=1 restores one-dispatch-per-step)."""
     import dataclasses
 
     from medvill_tpu.core.config import BertConfig, FinetuneConfig, \
@@ -149,10 +152,17 @@ def bench_finetune(batch: int = 16, iters: int = 8) -> None:
         masked_weights=np.ones((batch, cfg.max_pred), np.float32),
     )
     dev_batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
-    step = jax.jit(ft.make_train_step(model, tx, cfg, t_total=10000),
-                   donate_argnums=(0,))
+    k = max(1, k)
+    if k > 1:
+        step = jax.jit(ft.make_multi_train_step(model, tx, cfg,
+                                                t_total=10000, k=k,
+                                                reuse_batch=True),
+                       donate_argnums=(0,))
+    else:
+        step = jax.jit(ft.make_train_step(model, tx, cfg, t_total=10000),
+                       donate_argnums=(0,))
     state, aux = step(state, dev_batch, jax.random.PRNGKey(1))
-    _ = float(aux["loss"])
+    _ = float(np.asarray(aux["loss"]).reshape(-1)[-1])
     # fence ONCE at the end (same methodology as bench_pretrain): a per-step
     # float(aux["loss"]) host read serializes dispatch on the remote-tunnel
     # RTT (~26-60 ms/step, session-dependent) and measures the tunnel, not
@@ -164,9 +174,9 @@ def bench_finetune(batch: int = 16, iters: int = 8) -> None:
     # donated state, so this retires every step): block_until_ready returns
     # before execution retires on this platform and would under-time the
     # run (see bench_pretrain's fence)
-    _ = float(aux["loss"])
+    _ = float(np.asarray(aux["loss"]).reshape(-1)[-1])
     dt = time.perf_counter() - t0
-    pairs_per_sec = batch * iters / dt
+    pairs_per_sec = batch * iters * k / dt
     print(json.dumps({
         "metric": "finetune_reportgen_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
@@ -446,7 +456,8 @@ def main() -> None:
     if cmd == "finetune":
         batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
         iters = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-        bench_finetune(batch, iters)
+        k = int(sys.argv[4]) if len(sys.argv) > 4 else 15
+        bench_finetune(batch, iters, k)
         return
     if cmd == "ab":
         bench_ab(sys.argv[2], sys.argv[3],

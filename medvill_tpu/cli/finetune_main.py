@@ -16,8 +16,9 @@ from medvill_tpu.core.config import (BertConfig, FinetuneConfig,
                                      ImageEncoderConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
 from medvill_tpu.core.mesh import (cli_mesh_and_place, multihost_initialize,
-                                   shard_batch)
-from medvill_tpu.data.pretrain import BatchLoader
+                                   shard_batch, shard_stacked_batch)
+from medvill_tpu.data.pretrain import (BatchLoader, PrefetchLoader,
+                                       grouped_batches)
 from medvill_tpu.data.seq2seq import Img2TxtDataset
 from medvill_tpu.data.tokenization import BertTokenizer
 from medvill_tpu.data.vqa import VQADataset
@@ -128,6 +129,11 @@ def build_parser():
     p.add_argument("--resnet_init_path", type=str, default=None,
                    help="torchvision resnet50 .pth for the visual trunk "
                         "(reference: vlp resnet pretrained init)")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="k train micro-steps per jit dispatch (lax.scan "
+                        "over stacked batches) — amortizes per-dispatch "
+                        "host/RPC overhead; same mechanism as the pretrain "
+                        "CLI's flag")
     p.add_argument("--relax_projection", action="store_true",
                    help="4 task-specific MLM-head projections selected by "
                         "task_idx (reference: finetune.py:182,307-319)")
@@ -293,27 +299,47 @@ def main(args) -> None:
                     dict(mesh.shape))
     # drop-worst is epoch-gated (reference finetune.py:440: active when the
     # 1-based epoch exceeds drop_after) and static in the compiled step, so
-    # at most two jitted specializations exist
+    # at most two jitted specializations exist (x single/multi dispatch)
+    k_disp = max(1, getattr(args, "steps_per_dispatch", 1))
     _steps = {}
 
-    def step_for_epoch(epoch0: int):
+    def step_for_epoch(epoch0: int, multi: bool):
         ratio = ft.drop_worst_ratio_for_epoch(cfg, epoch0)
-        if ratio not in _steps:
-            _steps[ratio] = jax.jit(ft.make_train_step(
+        key = (ratio, multi)
+        if key not in _steps:
+            make = (lambda: ft.make_multi_train_step(
+                model, tx, cfg, t_total, k_disp, drop_worst_ratio=ratio)
+            ) if multi else (lambda: ft.make_train_step(
                 model, tx, cfg, t_total, drop_worst_ratio=ratio))
-        return _steps[ratio]
+            _steps[key] = jax.jit(make(), donate_argnums=(0,))
+        return _steps[key]
+
+    _KEYS = ("image", "input_ids", "segment_ids", "mask_spec", "masked_ids",
+             "masked_pos", "masked_weights", "ans_target", "task_idx")
+
+    def filtered(batches):
+        for b in batches:
+            yield {k: v for k, v in b.items() if k in _KEYS}
 
     epochs = range(start_epoch, cfg.epochs) if getattr(
         args, "do_train", True) else ()
     for epoch in epochs:
-        train_step = step_for_epoch(epoch)
         agg = {}
-        for batch in loader:
-            batch = {k: v for k, v in batch.items()
-                     if k in ("image", "input_ids", "segment_ids",
-                              "mask_spec", "masked_ids", "masked_pos",
-                              "masked_weights", "ans_target", "task_idx")}
-            state, m = train_step(state, shard_batch(mesh, batch),
+        # prefetch + device placement overlap the running step (same
+        # pipeline as the pretrain CLI)
+        if k_disp > 1:
+            prefetched = PrefetchLoader(
+                grouped_batches(filtered(loader), k_disp), depth=2,
+                place_fn=lambda bg: (shard_stacked_batch(mesh, bg[0])
+                                     if bg[1] else shard_batch(mesh, bg[0]),
+                                     bg[1]))
+        else:
+            prefetched = PrefetchLoader(
+                filtered(loader), depth=2,
+                place_fn=lambda b: (shard_batch(mesh, b), False))
+        for batch, is_group in prefetched:
+            train_step = step_for_epoch(epoch, is_group)
+            state, m = train_step(state, batch,
                                   jax.random.PRNGKey(cfg.seed))
             # keep metrics on device: float() here would host-sync every
             # step and serialize the pipeline on dispatch latency

@@ -22,7 +22,7 @@ from medvill_tpu.core import checkpoint as ckpt_lib
 from medvill_tpu.core.mesh import (cli_mesh_and_place, multihost_initialize,
                                    shard_batch, shard_stacked_batch)
 from medvill_tpu.data.pretrain import (BatchLoader, CXRPretrainDataset,
-                                       PrefetchLoader)
+                                       PrefetchLoader, grouped_batches)
 from medvill_tpu.data.tokenization import BertTokenizer
 from medvill_tpu.train import optim
 from medvill_tpu.train.pretrain import (init_state, make_eval_step,
@@ -266,22 +266,6 @@ def train(args) -> None:
     eval_step = jax.jit(make_eval_step(model, cfg))
     rng = jax.random.PRNGKey(cfg.seed)
 
-    def grouped(loader, k):
-        """Stack groups of k host batches into ([k, B, ...] leaves, True);
-        the (at most k-1) tail batches of an epoch are yielded individually
-        as ([B, ...], False) so short epochs (len(loader) < k) and epoch
-        tails still train — via the single-step path — instead of being
-        silently dropped."""
-        buf = []
-        for b in loader:
-            buf.append(b)
-            if len(buf) == k:
-                yield (jax.tree_util.tree_map(lambda *xs: np.stack(xs),
-                                              *buf), True)
-                buf = []
-        for b in buf:
-            yield (b, False)
-
     single_step = None  # compiled lazily, only if an epoch tail occurs
 
     for epoch in range(cfg.epochs):
@@ -289,7 +273,7 @@ def train(args) -> None:
         agg = {}
         if k_disp > 1:
             prefetched = PrefetchLoader(
-                grouped(train_loader, k_disp), depth=2,
+                grouped_batches(train_loader, k_disp), depth=2,
                 place_fn=lambda bg: (shard_stacked_batch(mesh, bg[0])
                                      if bg[1] else shard_batch(mesh, bg[0]),
                                      bg[1]))

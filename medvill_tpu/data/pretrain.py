@@ -216,6 +216,25 @@ class BatchLoader:
             yield collate(self._fetch(idxs))
 
 
+def grouped_batches(loader, k: int):
+    """Stack groups of k host batches into ``([k, B, ...] leaves, True)``
+    for a k-micro-steps-per-dispatch scan; the (at most k-1) tail batches of
+    an epoch are yielded individually as ``([B, ...], False)`` so short
+    epochs (len(loader) < k) and epoch tails still train — via the
+    single-step path — instead of being silently dropped."""
+    import jax
+
+    buf = []
+    for b in loader:
+        buf.append(b)
+        if len(buf) == k:
+            yield (jax.tree_util.tree_map(lambda *xs: np.stack(xs), *buf),
+                   True)
+            buf = []
+    for b in buf:
+        yield (b, False)
+
+
 class PrefetchLoader:
     """Wraps any batch iterable with a background-thread prefetch queue so
     host-side preprocessing (image decode, tokenization, masking) overlaps

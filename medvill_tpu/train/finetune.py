@@ -136,6 +136,30 @@ def make_train_step(model: VLPForPreTraining, tx, cfg: FinetuneConfig,
     return train_step
 
 
+def make_multi_train_step(model: VLPForPreTraining, tx, cfg: FinetuneConfig,
+                          t_total: int, k: int, attention_fn=None,
+                          drop_worst_ratio: float = 0.0,
+                          reuse_batch: bool = False):
+    """``k`` finetune micro-steps inside ONE jit dispatch (lax.scan over
+    [k, B, ...]-stacked batches, same design as
+    train.pretrain.make_multi_train_step — per-dispatch host/RPC overhead
+    amortizes 1/k).  Dropout streams diverge per micro-step because the
+    inner step folds ``state.step`` into the rng.  ``reuse_batch=True``
+    scans one [B, ...] batch k times (synthetic benches only)."""
+    step = make_train_step(model, tx, cfg, t_total,
+                           attention_fn=attention_fn,
+                           drop_worst_ratio=drop_worst_ratio)
+
+    def multi_step(state: TrainState, batch, rng):
+        def body(carry, xs):
+            return step(carry, batch if reuse_batch else xs, rng)
+
+        return jax.lax.scan(body, state, None if reuse_batch else batch,
+                            length=k if reuse_batch else None)
+
+    return multi_step
+
+
 def make_vqa_eval_step(model: VLPForPreTraining, cfg: FinetuneConfig,
                        attention_fn=None):
     """VQA inference: classifier over h[:,0] * h[:,len_vis+1]

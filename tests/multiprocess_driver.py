@@ -156,4 +156,16 @@ if ckpt_dir:
 
     jax.tree_util.tree_map(_assert_eq, restored["params"], zstate.params)
 
+    # resume path: restore INTO the live cross-process-sharded target
+    # (each host reads its own shards back) and take one more step — the
+    # multi-host failure-recovery flow
+    resumed = ckpt_lib.restore(ckpt_dir, 0, zstate)
+    key, sub = jax.random.split(key)
+    r1, rmetrics = step(resumed, shard_batch(mesh, host_batch), sub)
+    z1, zmetrics2 = step(zstate, shard_batch(mesh, host_batch), sub)
+    rloss = float(np.asarray(jax.device_get(rmetrics["loss"])))
+    zloss2 = float(np.asarray(jax.device_get(zmetrics2["loss"])))
+    assert rloss == zloss2, (rloss, zloss2)  # resumed == uninterrupted
+    print(f"RLOSS {proc_id} {rloss:.6f}", flush=True)
+
 print(f"DONE {proc_id}", flush=True)

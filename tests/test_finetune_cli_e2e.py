@@ -62,6 +62,34 @@ def test_finetune_cli_one_epoch_with_relax(tmp_path):
     assert losses and all(np.isfinite(losses)), rows
 
 
+def test_finetune_cli_multi_step_dispatch(tmp_path):
+    """--steps_per_dispatch 2: the k-micro-steps lax.scan path INCLUDING an
+    epoch tail (40 samples / batch 8 = 5 batches -> 2 grouped dispatches +
+    1 tail batch through the single-step path; batch 8 divides the test
+    mesh's 8 virtual devices)."""
+    from medvill_tpu.cli import finetune_main
+    from medvill_tpu.core import checkpoint as ckpt_lib
+
+    train, vocab = _write_dataset(tmp_path, n=40)
+    out = tmp_path / "out_ft_k"
+    args = finetune_main.build_parser().parse_args([
+        "--tasks", "report_generation", "--src_file", train,
+        "--vocab_file", vocab, "--output_dir", str(out),
+        "--bert_model", "test-tiny", "--vocab_size", "32",
+        "--train_batch_size", "8", "--num_train_epochs", "1",
+        "--len_vis_input", "3", "--img_size", "64",
+        "--max_seq_length", "16", "--max_pred", "4", "--max_len_b", "8",
+        "--steps_per_dispatch", "2",
+    ])
+    finetune_main.main(args)
+
+    assert ckpt_lib.latest_epoch(str(out)) == 0
+    rows = [json.loads(l)
+            for l in open(os.path.join(str(out), "metrics.jsonl"))]
+    losses = [r["loss"] for r in rows if "loss" in r]
+    assert losses and all(np.isfinite(losses)), rows
+
+
 def test_finetune_cli_tensor_parallel(tmp_path):
     """--model_parallel 2: the finetune step over a (data, model) mesh with
     the VLP encoder TP-sharded (core/mesh.py::tp_shard)."""

@@ -55,7 +55,8 @@ def test_two_process_data_parallel_train_step(tmp_path):
     # DDP invariant: identical losses on both hosts, both steps — and the
     # same for the cross-process ZeRO-1 step and the distributed-checkpoint
     # roundtrip checksum
-    for tag, count in (("LOSS", 2), ("ZLOSS", 1), ("CKSUM", 1)):
+    for tag, count in (("LOSS", 2), ("ZLOSS", 1), ("CKSUM", 1),
+                       ("RLOSS", 1)):
         vals = []
         for _, out, _ in outs:
             vals.append([line.split()[-1] for line in out.splitlines()

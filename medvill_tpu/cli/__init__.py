@@ -1,8 +1,14 @@
 """Shared helpers for the CLI entry points."""
 
 
-def _str2bool(v):
+def str2bool(v):
+    """Canonical truthy-string parser shared by every CLI (the reference's
+    equivalent flags are raw strings and therefore always truthy — a
+    documented reference bug we do not replicate)."""
     return str(v).lower() in ("1", "true", "yes")
+
+
+_str2bool = str2bool  # backwards-compat alias
 
 
 def add_parallelism_args(p) -> None:

@@ -39,8 +39,7 @@ def make_tokenizer(vocab_file: str, remap_unused: bool = False):
                                              remap_unused=remap_unused)
 
 
-def str2bool(v):
-    return str(v).lower() in ("1", "true", "yes")
+from medvill_tpu.cli import str2bool  # noqa: E402
 
 
 def build_parser():
@@ -173,6 +172,7 @@ def train(args) -> None:
                          / cfg.gradient_accumulation_steps * cfg.max_epochs))
 
     mesh, place_state = cli_mesh_and_place(cfg.mesh_shape,
+                                           num_heads=bert.num_attention_heads,
                                            **parallelism_kwargs(args))
     model = classify.build_model(cfg, len(labels))
     import jax.numpy as jnp
@@ -216,8 +216,18 @@ def train(args) -> None:
     state = TrainState(step=jnp.zeros([], jnp.int32), params=params,
                        batch_stats=batch_stats, opt_state=tx.init(params))
     state = place_state(state)
-    train_step = jax.jit(classify.make_train_step(
-        model, tx, cfg, t_total, pw, cls_id, sep_id))
+    # phase-static freeze: (epoch < freeze_img, epoch < freeze_txt) selects
+    # a jit specialization; the opt_state structure is phase-invariant
+    # (freeze is applied inside the step), so state carries across phases
+    _steps: dict = {}
+
+    def train_step_for(epoch: int):
+        phase = (epoch < cfg.freeze_img, epoch < cfg.freeze_txt)
+        if phase not in _steps:
+            _steps[phase] = jax.jit(classify.make_train_step(
+                model, tx, cfg, t_total, pw, cls_id, sep_id, freeze=phase))
+        return _steps[phase]
+
     eval_step = jax.jit(classify.make_eval_step(model, cls_id, sep_id))
 
     sched = classify.PlateauScheduler(cfg.lr_factor, cfg.lr_patience)
@@ -225,6 +235,7 @@ def train(args) -> None:
     lr_scale = 1.0
     for epoch in range(cfg.max_epochs):
         losses = []
+        train_step = train_step_for(epoch)
         for batch in train_loader:
             state, loss = train_step(state, shard_batch(mesh, batch),
                                      jax.random.PRNGKey(cfg.seed),

@@ -53,8 +53,7 @@ from medvill_tpu.utils.logging import MetricLogger, create_logger
 from medvill_tpu.utils.seed import set_seed
 
 
-def str2bool(v):
-    return str(v).lower() in ("1", "true", "yes")
+from medvill_tpu.cli import str2bool  # noqa: E402
 
 
 def build_parser():
@@ -92,9 +91,14 @@ def build_parser():
                    help="'|'-separated words whose ids are exempt from "
                         "duplicate-ngram forbidding; [x] forms are "
                         "uppercased (generation_decode.py:351-358)")
-    p.add_argument("--decode_positions", type=str, default="reference",
-                   choices=["reference", "train", "global"],
-                   help="text-window position-id semantics: 'reference' = "
+    p.add_argument("--decode_positions", type=str, default="auto",
+                   choices=["auto", "reference", "train", "global"],
+                   help="text-window position-id semantics: 'auto' = "
+                        "'reference' when recovering a torch checkpoint "
+                        "(the published-BLEU mode), 'train' for orbax "
+                        "checkpoints finetuned in this framework (whose "
+                        "training forward embeds slot j at position j); "
+                        "'reference' = "
                         "what the reference decoder executes (each 2-token "
                         "window embedded at positions 0/1 — its embeddings "
                         "never consume the preprocessor's position tensor, "
@@ -166,9 +170,26 @@ class _Best:
                 "best_bleu3": max(self.c), "best_bleu4": max(self.d)}
 
 
+def _resolve_positions(args, ckpt_kind, logger) -> str:
+    """'auto' follows checkpoint provenance: a torch finetune checkpoint
+    was trained by the reference, whose decoder embeds every 2-token window
+    at positions 0/1 (model.py:1113-1121) — match it token-exactly; an
+    orbax checkpoint was finetuned by THIS framework's train forward
+    (slot j at position j), so decode with the train-consistent layout."""
+    mode = getattr(args, "decode_positions", "auto")
+    if mode != "auto":
+        return mode
+    mode = "reference" if ckpt_kind == "torch" else "train"
+    if logger is not None:
+        logger.info("decode_positions auto -> %s (checkpoint kind: %s)",
+                    mode, ckpt_kind or "random-init")
+    return mode
+
+
 def _decode_records(args, cfg, model, variables, tokenizer, records,
-                    data_dir, logger):
-    """One decode pass over ``records``: returns (predictions, ppl|None)."""
+                    data_dir, logger, ckpt_kind=None):
+    """One decode pass over ``records``: returns (predictions, ppl|None).
+    ``ckpt_kind`` ('torch'|'orbax'|None) resolves --decode_positions auto."""
     import jax.numpy as jnp
 
     v = tokenizer.vocab
@@ -184,7 +205,7 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
         forbid_ignore_ids=forbid_ignore_ids,
         sample_mode="sample" if getattr(args, "do_sample", False)
         else "greedy",
-        window_positions=getattr(args, "decode_positions", "reference"))
+        window_positions=_resolve_positions(args, ckpt_kind, logger))
     if settings.sample_mode == "sample" and args.beam_size > 1:
         # the reference samples only in its non-beam loop (model.py:1213);
         # fail loudly rather than silently doing deterministic beam search
@@ -308,6 +329,7 @@ def run_one(args, logger, metrics_log, best: _Best,
     for model_path in paths:
         variables = {"params": init_vars["params"],
                      "batch_stats": init_vars.get("batch_stats", {})}
+        ckpt_kind = None
         if model_path is not None and os.path.isfile(model_path):
             # torch finetune checkpoint (model.{epoch}.bin written by
             # sc/finetune.py) — the reference decode's recover + key remap
@@ -317,6 +339,7 @@ def run_one(args, logger, metrics_log, best: _Best,
             new_params, new_bs = torch_init.init_vlp_from_torch(
                 variables["params"], variables["batch_stats"], model_path)
             variables = {"params": new_params, "batch_stats": new_bs}
+            ckpt_kind = "torch"
             logger.info("recovered torch model %s", model_path)
         elif model_path is not None:
             epoch = ckpt_lib.latest_epoch(model_path)
@@ -325,6 +348,7 @@ def run_one(args, logger, metrics_log, best: _Best,
                                             partial=True)
                 variables = {"params": restored["params"],
                              "batch_stats": restored["batch_stats"]}
+                ckpt_kind = "orbax"
                 logger.info("recovered model %s epoch %s", model_path, epoch)
         for bootstrap in range(1, args.random_bootstrap_testnum + 1):
             if args.bootstrap_resample:
@@ -336,7 +360,7 @@ def run_one(args, logger, metrics_log, best: _Best,
                 records = all_records
             predictions, ppl = _decode_records(
                 args, cfg, model, variables, tokenizer, records, data_dir,
-                logger)
+                logger, ckpt_kind=ckpt_kind)
             # run naming mirrors generation_decode.py:594-632
             if args.beam_size == 1 and ppl is not None:
                 run_name = (f"{round(ppl, 2)}ppl_{dataset or 'cxr'}_"

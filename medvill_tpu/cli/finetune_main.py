@@ -42,8 +42,7 @@ def make_tokenizer(vocab_file: str, remap_unused: bool = False):
                                              remap_unused=remap_unused)
 
 
-def str2bool(v):
-    return str(v).lower() in ("1", "true", "yes")
+from medvill_tpu.cli import str2bool  # noqa: E402
 
 
 def build_parser():
@@ -230,6 +229,7 @@ def main(args) -> None:
 
     mp = max(1, getattr(args, "model_parallel", 1))
     mesh, place_state = cli_mesh_and_place(cfg.mesh_shape,
+                                           num_heads=cfg.bert.num_attention_heads,
                                            **parallelism_kwargs(args))
     model = ft.build_model(cfg)
     import jax.numpy as jnp

@@ -45,8 +45,7 @@ def make_tokenizer(vocab_file: str, remap_unused: bool = False):
                                              remap_unused=remap_unused)
 
 
-def str2bool(v):
-    return str(v).lower() in ("1", "true", "yes")
+from medvill_tpu.cli import str2bool  # noqa: E402
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -72,7 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
     # schedule (main_origin.py:97-99)
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch_size", type=int, default=36)
-    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="loader worker threads (reference --num_workers, "
+                        "main_origin.py:52-54 DataLoader workers).  >1 "
+                        "derives a per-(seed,epoch,index) RNG per sample — "
+                        "deterministic for a given seed at ANY worker "
+                        "count, but a different masking/ITM stream than "
+                        "the sequential mode; 1 = the shared-stream "
+                        "sequential mode the RNG-parity tests pin down")
     # model (main_origin.py:102-139)
     p.add_argument("--hidden_size", type=int, default=768)
     p.add_argument("--embedding_size", type=int, default=768)
@@ -195,6 +201,7 @@ def train(args) -> None:
 
     mp = max(1, getattr(args, "model_parallel", 1))
     mesh, place_state = cli_mesh_and_place(cfg.mesh_shape,
+                                           num_heads=cfg.bert.num_attention_heads,
                                            **parallelism_kwargs(args))
     tx = optim.accumulate(
         optim.adamw(cfg.lr, cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay),

@@ -36,8 +36,7 @@ def make_tokenizer(vocab_file: str, remap_unused: bool = False):
                                              remap_unused=remap_unused)
 
 
-def str2bool(v):
-    return str(v).lower() in ("1", "true", "yes")
+from medvill_tpu.cli import str2bool  # noqa: E402
 
 
 def build_parser():
@@ -116,6 +115,7 @@ def main(args) -> None:
                                                      3)))
 
     mesh, place_state = cli_mesh_and_place(cfg.mesh_shape,
+                                           num_heads=cfg.bert.num_attention_heads,
                                            **parallelism_kwargs(args))
     import jax.numpy as jnp
     from medvill_tpu.train.pretrain import init_state

@@ -47,15 +47,28 @@ def fully_addressable(state: Any) -> bool:
     return True
 
 
+def rank0_savable(state: Any) -> bool:
+    """True when rank 0 alone can materialize the complete state: every
+    array leaf is fully addressable (single-process) or fully replicated
+    (plain multi-host data parallelism — each host holds the whole value,
+    so ``np.asarray`` is legal without cross-host gathers)."""
+    for leaf in jax.tree_util.tree_leaves(state):
+        if (isinstance(leaf, jax.Array) and not leaf.is_fully_addressable
+                and not leaf.is_fully_replicated):
+            return False
+    return True
+
+
 def is_saving_process(state: Any) -> bool:
     """Which processes must call :func:`save` for this state.
 
-    Fully-addressable state: rank 0 only (the reference's rank-0 convention,
-    sc/finetune.py:474-487 — avoids duplicate writes).  Cross-process-sharded
-    state (ZeRO-1/TP over multiple hosts): EVERY process, so orbax's
-    distributed array writer can commit each host's shards (requires a
-    filesystem all hosts see, the standard pod setup)."""
-    return jax.process_index() == 0 or not fully_addressable(state)
+    Rank-0-savable state (fully addressable or fully replicated): rank 0
+    only (the reference's rank-0 convention, sc/finetune.py:474-487 —
+    avoids duplicate writes and works on per-host local disks).
+    Cross-process-sharded state (ZeRO-1/TP over multiple hosts): EVERY
+    process, so orbax's distributed array writer can commit each host's
+    shards (requires a filesystem all hosts see, the standard pod setup)."""
+    return jax.process_index() == 0 or not rank0_savable(state)
 
 
 def save(directory: str, epoch: int, state: Any,
@@ -77,7 +90,17 @@ def save(directory: str, epoch: int, state: Any,
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, str(epoch))
-    host_state = jax.device_get(state) if fully_addressable(state) else state
+    if fully_addressable(state):
+        host_state = jax.device_get(state)
+    elif rank0_savable(state):
+        # multi-process but fully replicated: np.asarray is legal on
+        # is_fully_replicated arrays — rank 0 writes one complete
+        # checkpoint to its own disk, matching the reference convention
+        host_state = jax.tree_util.tree_map(
+            lambda l: np.asarray(l) if isinstance(l, jax.Array) else l,
+            state)
+    else:
+        host_state = state
     rank0 = jax.process_index() == 0
     if async_save and not best:  # best-copy needs the finished write
         if _ASYNC_CKPT is None:

@@ -191,15 +191,25 @@ def zero1_shard(mesh: Mesh, tree: Any) -> Any:
 
 
 def cli_mesh_and_place(mesh_shape: Sequence[int], model_parallel: int = 1,
-                       zero1: bool = False):
+                       zero1: bool = False, num_heads: int | None = None):
     """(mesh, place_fn) for a CLI entry point: the default 1-D ``data`` mesh
     with replicated state, or — when ``model_parallel > 1`` — a 2-D
     ``(data, model)`` mesh with the state tensor-parallel-sharded via
     :func:`tp_shard`.  ``zero1=True`` additionally shards the Adam moments
-    over ``data`` via :func:`zero1_shard` (composes with either mesh)."""
+    over ``data`` via :func:`zero1_shard` (composes with either mesh).
+
+    ``num_heads`` (when known) fails fast on head-splitting TP degrees:
+    hidden-dim divisibility alone would let e.g. 12-head/768-hidden BERT
+    "shard" under ``model_parallel=8`` — the attention shard_map path then
+    silently declines (12 % 8 != 0) and every chip would redundantly
+    compute full attention over all-gathered activations."""
     from medvill_tpu.ops.flash_attention import set_attention_mesh
 
     if model_parallel and model_parallel > 1:
+        if num_heads is not None and num_heads % model_parallel:
+            raise ValueError(
+                f"--model_parallel {model_parallel} must divide "
+                f"num_attention_heads={num_heads} (Megatron head sharding)")
         mesh = make_mesh((-1, model_parallel), (DATA_AXIS, MODEL_AXIS))
         set_attention_mesh(mesh)  # Pallas kernel runs per-shard (shard_map)
         if zero1:

@@ -81,16 +81,30 @@ def make_tx(cfg: ClassificationConfig, t_total: int,
 
 def make_train_step(model: MultimodalBertClf, tx, cfg: ClassificationConfig,
                     t_total: int, pos_weight: Optional[np.ndarray],
-                    cls_id: int, sep_id: int, attention_fn=None):
+                    cls_id: int, sep_id: int, attention_fn=None,
+                    freeze: Tuple[bool, bool] = (False, False)):
+    """``freeze=(freeze_img, freeze_txt)`` implements the reference's
+    *intended* per-phase freeze (mmbt/main.py:204-209; the reference's own
+    flags are truthy strings, see module docstring) without changing the
+    optimizer-state structure across phases: frozen subtrees are
+    ``stop_gradient``-ed inside the loss (XLA prunes their backward) and
+    their final updates are zeroed (so Adam/weight-decay cannot move them).
+    Because a leaf's grads are exactly zero while frozen, its Adam moments
+    stay exactly zero, matching torch's lazy state init at unfreeze time."""
     pw = jnp.asarray(pos_weight) if pos_weight is not None else None
+    freeze_img, freeze_txt = freeze
 
     def train_step(state: TrainState, batch, rng, lr_scale):
         dropout_rng = jax.random.fold_in(rng, state.step)
         local_attention_fn = attention_fn
         if local_attention_fn is None and cfg.use_flash_attention:
             local_attention_fn = _clf_flash_fn(cfg, batch)
+        trainable = (freeze_mask(state.params, freeze_img, freeze_txt)
+                     if (freeze_img or freeze_txt) else None)
 
         def loss_fn(params):
+            if trainable is not None:
+                params = optim.stop_frozen(params, trainable)
             out, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["input_txt"], batch["txt_len"], batch["segment"],
@@ -119,6 +133,10 @@ def make_train_step(model: MultimodalBertClf, tx, cfg: ClassificationConfig,
         x = opt_step.astype(jnp.float32) / t_total
         lr_t = cfg.lr * optim.warmup_linear(x, cfg.warmup) * lr_scale
         updates = jax.tree_util.tree_map(lambda u: -lr_t * u, updates)
+        if trainable is not None:
+            updates = jax.tree_util.tree_map(
+                lambda u, t: u if t else jnp.zeros_like(u),
+                updates, trainable)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(step=state.step + 1, params=new_params,
                           batch_stats=new_bs, opt_state=new_opt), loss

@@ -234,3 +234,70 @@ def test_vqa_train_step(tok):
     state, m = step(state, use, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["vqa_loss"]))
     assert float(m["batch_score"]) >= 0
+
+
+def test_classification_freeze_phases(tok):
+    """freeze=(img, txt) must hold the frozen subtrees bit-still through a
+    train step (Adam + weight decay included) while the rest trains, and
+    the SAME state must step through a later unfrozen phase (the CLI's
+    phase-static specialization; reference intended semantics of
+    mmbt/main.py:204-209 whose string flags never actually freeze)."""
+    from medvill_tpu.data.classification import (ClassificationDataset,
+                                                 get_labels_and_frequencies,
+                                                 synthetic_clf_records)
+    from medvill_tpu.train import classify
+
+    labels = ["'A'", "'B'", "'C'"]
+    recs = synthetic_clf_records(8, labels)
+    got_labels, _ = get_labels_and_frequencies(recs)
+    cfg = ClassificationConfig(
+        bert=BertConfig.test_tiny(vocab_size=64), image=TINY_IMG,
+        num_image_embeds=4, max_seq_len=16, img_size=64, batch_size=4,
+        labels=tuple(got_labels), freeze_img=1)
+    ds = ClassificationDataset(recs, tok, got_labels, cfg.max_seq_len,
+                               cfg.num_image_embeds, cfg.img_size,
+                               image_loader=rand_img_loader())
+    batch = next(iter(BatchLoader(ds, 4, shuffle=False)))
+    model = classify.build_model(cfg, len(got_labels))
+    cls_id, sep_id = tok.vocab["[CLS]"], tok.vocab["[SEP]"]
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(batch["input_txt"]),
+                           jnp.asarray(batch["txt_len"]),
+                           jnp.asarray(batch["segment"]),
+                           jnp.asarray(batch["image"]), cls_id, sep_id)
+    tx = classify.make_tx(cfg, t_total=10)
+    state = TrainState(step=jnp.zeros([], jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]))
+    b = jax.tree_util.tree_map(jnp.asarray, batch)
+
+    frozen_step = jax.jit(classify.make_train_step(
+        model, tx, cfg, 10, None, cls_id, sep_id, freeze=(True, False)))
+    import flax
+    before = flax.traverse_util.flatten_dict(jax.device_get(state.params))
+    # several steps: warmup_linear(0) == 0, so step 0 moves nothing by design
+    for i in range(3):
+        state, loss = frozen_step(state, b, jax.random.PRNGKey(1),
+                                  jnp.asarray(1.0))
+    assert np.isfinite(float(loss))
+    after = flax.traverse_util.flatten_dict(jax.device_get(state.params))
+    img_moved = txt_moved = False
+    for path, leaf in after.items():
+        same = np.array_equal(before[path], leaf)
+        if "img_encoder" in path:
+            assert same, f"frozen img leaf moved: {path}"
+            img_moved |= not same
+        elif "encoder" in path:
+            txt_moved |= not same
+    assert txt_moved, "text encoder should train in the img-frozen phase"
+
+    # unfrozen phase reuses the same state (opt_state structure unchanged)
+    free_step = jax.jit(classify.make_train_step(
+        model, tx, cfg, 10, None, cls_id, sep_id, freeze=(False, False)))
+    state, loss = free_step(state, b, jax.random.PRNGKey(2),
+                            jnp.asarray(1.0))
+    final = flax.traverse_util.flatten_dict(jax.device_get(state.params))
+    img_moved = any("img_encoder" in p and not np.array_equal(after[p], l)
+                    for p, l in final.items())
+    assert img_moved, "img encoder should train once unfrozen"

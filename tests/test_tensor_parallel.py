@@ -287,3 +287,19 @@ def test_tp_shard_skips_indivisible_dims():
     tree = {"self": {"query": {"kernel": np.zeros((4, 3), np.float32)}}}
     out = tp_shard(mesh, tree)
     assert out["self"]["query"]["kernel"].sharding.is_fully_replicated
+
+
+def test_cli_mesh_rejects_head_splitting_tp():
+    """--model_parallel must divide num_attention_heads: hidden-dim
+    divisibility alone (768 % 8 == 0) would otherwise shard QKV kernels
+    into fractional-head chunks while the attention shard_map path silently
+    declines (12 % 8 != 0), leaving redundant all-gathered attention."""
+    import pytest
+
+    from medvill_tpu.core.mesh import cli_mesh_and_place
+
+    with pytest.raises(ValueError, match="num_attention_heads"):
+        cli_mesh_and_place((-1,), model_parallel=8, num_heads=12)
+    # valid degree passes
+    mesh, place = cli_mesh_and_place((-1,), model_parallel=2, num_heads=12)
+    assert mesh.shape["model"] == 2

@@ -14,11 +14,13 @@ from medvill_tpu.cli import add_parallelism_args, parallelism_kwargs
 from medvill_tpu.core.config import (BertConfig, ClassificationConfig,
                                      ImageEncoderConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
-from medvill_tpu.core.mesh import cli_mesh_and_place, shard_batch
+from medvill_tpu.core.mesh import (cli_mesh_and_place, shard_batch,
+                                   shard_stacked_batch)
 from medvill_tpu.data.classification import (ClassificationDataset,
                                              get_labels_and_frequencies,
                                              pos_weights)
-from medvill_tpu.data.pretrain import BatchLoader
+from medvill_tpu.data.pretrain import (BatchLoader, PrefetchLoader,
+                                       grouped_batches)
 from medvill_tpu.data.tokenization import BertTokenizer
 from medvill_tpu.train import classify
 from medvill_tpu.train.pretrain import TrainState
@@ -73,6 +75,10 @@ def build_parser():
                    help="loader worker threads (reference --n_workers, "
                         "torch DataLoader num_workers; <=1 is the "
                         "deterministic shared-RNG-stream mode)")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="train micro-steps per jit dispatch (lax.scan "
+                        "over stacked batches) — amortizes per-dispatch "
+                        "host/runtime overhead; no reference equivalent")
     add_parallelism_args(p)
     p.add_argument("--openi", type=str2bool, default=False)
     p.add_argument("--batch_sz", type=int, default=56)
@@ -219,14 +225,20 @@ def train(args) -> None:
     # phase-static freeze: (epoch < freeze_img, epoch < freeze_txt) selects
     # a jit specialization; the opt_state structure is phase-invariant
     # (freeze is applied inside the step), so state carries across phases
+    k_disp = max(1, getattr(args, "steps_per_dispatch", 1))
     _steps: dict = {}
 
-    def train_step_for(epoch: int):
+    def train_step_for(epoch: int, multi: bool):
         phase = (epoch < cfg.freeze_img, epoch < cfg.freeze_txt)
-        if phase not in _steps:
-            _steps[phase] = jax.jit(classify.make_train_step(
+        key = (phase, multi)
+        if key not in _steps:
+            make = (lambda: classify.make_multi_train_step(
+                model, tx, cfg, t_total, pw, cls_id, sep_id, k_disp,
+                freeze=phase)
+            ) if multi else (lambda: classify.make_train_step(
                 model, tx, cfg, t_total, pw, cls_id, sep_id, freeze=phase))
-        return _steps[phase]
+            _steps[key] = jax.jit(make(), donate_argnums=(0,))
+        return _steps[key]
 
     eval_step = jax.jit(classify.make_eval_step(model, cls_id, sep_id))
 
@@ -235,9 +247,21 @@ def train(args) -> None:
     lr_scale = 1.0
     for epoch in range(cfg.max_epochs):
         losses = []
-        train_step = train_step_for(epoch)
-        for batch in train_loader:
-            state, loss = train_step(state, shard_batch(mesh, batch),
+        # prefetch + device placement overlap the running step (same
+        # pipeline as the pretrain/finetune CLIs)
+        if k_disp > 1:
+            prefetched = PrefetchLoader(
+                grouped_batches(train_loader, k_disp), depth=2,
+                place_fn=lambda bg: (shard_stacked_batch(mesh, bg[0])
+                                     if bg[1] else shard_batch(mesh, bg[0]),
+                                     bg[1]))
+        else:
+            prefetched = PrefetchLoader(
+                train_loader, depth=2,
+                place_fn=lambda b: (shard_batch(mesh, b), False))
+        for batch, is_group in prefetched:
+            train_step = train_step_for(epoch, is_group)
+            state, loss = train_step(state, batch,
                                      jax.random.PRNGKey(cfg.seed),
                                      jnp.asarray(lr_scale))
             # device value — float() here would host-sync every step

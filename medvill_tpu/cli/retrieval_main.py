@@ -13,8 +13,10 @@ from medvill_tpu.cli import add_parallelism_args, parallelism_kwargs
 from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                      RetrievalConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
-from medvill_tpu.core.mesh import cli_mesh_and_place, shard_batch
-from medvill_tpu.data.pretrain import BatchLoader
+from medvill_tpu.core.mesh import (cli_mesh_and_place, shard_batch,
+                                   shard_stacked_batch)
+from medvill_tpu.data.pretrain import (BatchLoader, PrefetchLoader,
+                                       grouped_batches)
 from medvill_tpu.data.retrieval import CXRRetrievalDataset, collate_pairs
 from medvill_tpu.data.tokenization import BertTokenizer
 from medvill_tpu.train import optim, retrieve
@@ -62,6 +64,11 @@ def build_parser():
                    help="eval-loader worker threads (reference "
                         "full_dset_retrieval.py:572-585 DataLoader "
                         "num_workers)")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="train micro-steps per jit dispatch (lax.scan "
+                        "over stacked pos+neg pair batches) — amortizes "
+                        "per-dispatch host/runtime overhead; no reference "
+                        "equivalent")
     p.add_argument("--vocab_file", type=str, required=True)
     p.add_argument("--output_path", type=str, default="output_retrieval")
     p.add_argument("--do_train", type=str2bool, default=True)
@@ -213,12 +220,29 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
                 yield collate_pairs([train_ds[int(j)]
                                      for j in order[i * B:(i + 1) * B]])
 
-        train_step = jax.jit(make_train(model, tx, cfg))
+        k_disp = max(1, getattr(args, "steps_per_dispatch", 1))
+        train_step = jax.jit(make_train(model, tx, cfg),
+                             donate_argnums=(0,))
+        # k-micro-steps/dispatch works for BOTH model branches: the scan
+        # wrapper is step-agnostic (optim.scan_micro_steps)
+        multi_step = (jax.jit(optim.scan_micro_steps(
+            make_train(model, tx, cfg), k_disp), donate_argnums=(0,))
+            if k_disp > 1 else None)
         for epoch in range(cfg.epochs):
             losses, accs = [], []
-            for batch in pair_iter():
-                state, m = train_step(state, shard_batch(mesh, batch),
-                                      jax.random.PRNGKey(cfg.seed))
+            if k_disp > 1:
+                prefetched = PrefetchLoader(
+                    grouped_batches(pair_iter(), k_disp), depth=2,
+                    place_fn=lambda bg: (
+                        shard_stacked_batch(mesh, bg[0]) if bg[1]
+                        else shard_batch(mesh, bg[0]), bg[1]))
+            else:
+                prefetched = PrefetchLoader(
+                    pair_iter(), depth=2,
+                    place_fn=lambda b: (shard_batch(mesh, b), False))
+            for batch, is_group in prefetched:
+                step = multi_step if is_group else train_step
+                state, m = step(state, batch, jax.random.PRNGKey(cfg.seed))
                 # device values — float() here would host-sync every step
                 losses.append(m["loss"])
                 accs.append(m["acc"])

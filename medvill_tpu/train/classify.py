@@ -144,6 +144,23 @@ def make_train_step(model: MultimodalBertClf, tx, cfg: ClassificationConfig,
     return train_step
 
 
+def make_multi_train_step(model: MultimodalBertClf, tx,
+                          cfg: ClassificationConfig, t_total: int,
+                          pos_weight: Optional[np.ndarray], cls_id: int,
+                          sep_id: int, k: int, attention_fn=None,
+                          freeze: Tuple[bool, bool] = (False, False),
+                          reuse_batch: bool = False):
+    """``k`` classification micro-steps per jit dispatch (lax.scan over
+    [k, B, ...]-stacked batches; see ``optim.scan_micro_steps``).  The
+    ``lr_scale`` plateau multiplier is a per-dispatch scalar operand
+    forwarded to every micro-step — the reference's ReduceLROnPlateau only
+    moves at epoch boundaries (mmbt/main.py:133-136,286), so a constant
+    scale within one dispatch is exact."""
+    step = make_train_step(model, tx, cfg, t_total, pos_weight, cls_id,
+                           sep_id, attention_fn=attention_fn, freeze=freeze)
+    return optim.scan_micro_steps(step, k, reuse_batch=reuse_batch)
+
+
 def make_eval_step(model: MultimodalBertClf, cls_id: int, sep_id: int,
                    attention_fn=None, cfg: "ClassificationConfig" = None):
     def eval_step(state: TrainState, batch):

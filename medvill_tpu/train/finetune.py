@@ -149,15 +149,7 @@ def make_multi_train_step(model: VLPForPreTraining, tx, cfg: FinetuneConfig,
     step = make_train_step(model, tx, cfg, t_total,
                            attention_fn=attention_fn,
                            drop_worst_ratio=drop_worst_ratio)
-
-    def multi_step(state: TrainState, batch, rng):
-        def body(carry, xs):
-            return step(carry, batch if reuse_batch else xs, rng)
-
-        return jax.lax.scan(body, state, None if reuse_batch else batch,
-                            length=k if reuse_batch else None)
-
-    return multi_step
+    return optim.scan_micro_steps(step, k, reuse_batch=reuse_batch)
 
 
 def make_vqa_eval_step(model: VLPForPreTraining, cfg: FinetuneConfig,

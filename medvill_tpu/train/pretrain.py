@@ -291,17 +291,7 @@ def make_multi_train_step(model: CXRBERT, tx: optax.GradientTransformation,
     log per-micro-step or take ``[-1]``.
     """
     step = make_train_step(model, tx, cfg, attention_fn=attention_fn)
-
-    def multi_step(state: TrainState, batch, rng):
-        def body(carry, xs):
-            new_state, metrics = step(carry, batch if reuse_batch else xs,
-                                      rng)
-            return new_state, metrics
-
-        return jax.lax.scan(body, state, None if reuse_batch else batch,
-                            length=k if reuse_batch else None)
-
-    return multi_step
+    return optim.scan_micro_steps(step, k, reuse_batch=reuse_batch)
 
 
 def make_eval_step(model: CXRBERT, cfg: PretrainConfig, attention_fn=None):

@@ -109,6 +109,42 @@ def test_classification_cli_single_label_mode(tmp_path):
     assert csv_rows[0] == "acc"
 
 
+def test_classification_cli_steps_per_dispatch(tmp_path):
+    """--steps_per_dispatch 2: the k-micro-steps lax.scan path INCLUDING an
+    epoch-tail single-step batch (3 train batches of 8 with k=2 -> one
+    [2, B, ...] group + one tail; batch stays divisible by the conftest's
+    8-device mesh), composed with the phase-static freeze specialization."""
+    from medvill_tpu.cli import classification_main
+
+    rng = np.random.default_rng(7)
+    paths = _images(tmp_path, 24)
+    labels = ["Cardiomegaly", "Edema", "Others"]
+    for split in ("Train.jsonl", "Valid.jsonl"):
+        with open(tmp_path / split, "w") as f:
+            for i, p in enumerate(paths):
+                f.write(json.dumps({
+                    "id": f"{split}-{i}",
+                    "text": " ".join(rng.choice(WORDS, 6).tolist()),
+                    "label": labels[i % 2],
+                    "img": p}) + "\n")
+    out = tmp_path / "out_clf_kdisp"
+    args = classification_main.build_parser().parse_args([
+        "--data_path", str(tmp_path), "--vocab_file", _vocab(tmp_path),
+        "--savedir", str(out), "--bert_model", "test-tiny",
+        "--vocab_size", "32", "--batch_sz", "8", "--max_epochs", "1",
+        "--num_image_embeds", "4", "--img_size", "64",
+        "--max_seq_len", "20", "--steps_per_dispatch", "2",
+        "--freeze_img", "1",   # freeze phase x multi-dispatch composition
+        "--name", "kdisp",
+    ])
+    classification_main.train(args)
+    run_dir = os.path.join(str(out), "kdisp")
+    rows = [json.loads(l)
+            for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    losses = [r["train_loss"] for r in rows if "train_loss" in r]
+    assert losses and all(np.isfinite(losses)), rows
+
+
 def test_retrieval_cli_one_epoch(tmp_path):
     from medvill_tpu.cli import retrieval_main
 
@@ -136,6 +172,37 @@ def test_retrieval_cli_one_epoch(tmp_path):
     assert any("train_loss" in r for r in rows), rows
     losses = [r["train_loss"] for r in rows if "train_loss" in r]
     assert all(np.isfinite(losses)), rows
+
+
+def test_retrieval_cli_steps_per_dispatch(tmp_path):
+    """--steps_per_dispatch 2 over pos+neg pair batches: one [2, 2B, ...]
+    scan group per epoch (8 examples, batch 4 -> 2 pair batches)."""
+    from medvill_tpu.cli import retrieval_main
+
+    rng = np.random.default_rng(8)
+    paths = _images(tmp_path, 8)
+    train = tmp_path / "ret_train.jsonl"
+    with open(train, "w") as f:
+        for i, p in enumerate(paths):
+            f.write(json.dumps({
+                "id": f"t{i}", "split": "train",
+                "label": "'Normal'" if i % 2 else "'Edema'",
+                "text": " ".join(rng.choice(WORDS, 5).tolist()),
+                "img": p}) + "\n")
+    out = tmp_path / "out_ret_kdisp"
+    args = retrieval_main.build_parser().parse_args([
+        "--train_dataset", str(train), "--vocab_file", _vocab(tmp_path),
+        "--output_path", str(out), "--bert_model", "test-tiny",
+        "--vocab_size", "32", "--batch_size", "4", "--epochs", "2",
+        "--seq_len", "7", "--num_image_embeds", "3", "--img_size", "64",
+        "--do_train", "true", "--do_test", "false",
+        "--steps_per_dispatch", "2",
+    ])
+    retrieval_main.main(args)
+    rows = [json.loads(l)
+            for l in open(os.path.join(str(out), "metrics.jsonl"))]
+    losses = [r["train_loss"] for r in rows if "train_loss" in r]
+    assert len(losses) == 2 and all(np.isfinite(losses)), rows
 
 
 def test_retrieval_cli_cnn_bert_branch(tmp_path):

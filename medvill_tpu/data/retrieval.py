@@ -149,7 +149,10 @@ class CXRRetrievalDataset:
             pos["is_aligned"] = np.int32(1)
             neg["is_aligned"] = np.int32(0)
             return idx, pos, neg
-        sample = self._process(d["text"], d["img"])
+        # eval-pool rows use the reference's published key spelling "txt"
+        # (full_dset_retrieval.py:147 example row); accept both
+        sample = self._process(d["text"] if "text" in d else d["txt"],
+                               d["img"])
         if "is_aligned" not in d:
             raise ValueError(
                 "retrieval eval rows must carry 'is_aligned': eval pools "

@@ -40,7 +40,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from medvill_tpu.data.sampling import labels_match  # noqa: E402
+from medvill_tpu.data.sampling import _token_sort_key  # noqa: E402
 
 
 def build_pools(records: List[dict], pool_size: int, direction: str = "i2t",
@@ -49,10 +49,13 @@ def build_pools(records: List[dict], pool_size: int, direction: str = "i2t",
     """One shuffled pool of ``pool_size`` rows per query record."""
     rng = random.Random(seed)
     rows: List[dict] = []
+    # label equality is the fuzzy token-sort test (sampling.labels_match);
+    # precompute each record's key once so negative selection is O(n) per
+    # query instead of O(n) key computations per candidate
+    keys = [_token_sort_key(r["label"]) for r in records]
     for qi, q in enumerate(records):
         negatives = [r for j, r in enumerate(records) if j != qi
-                     and (not label_conditioned
-                          or not labels_match(q["label"], r["label"]))]
+                     and (not label_conditioned or keys[j] != keys[qi])]
         n_need = pool_size - 1
         if len(negatives) < n_need and not allow_replacement:
             raise ValueError(

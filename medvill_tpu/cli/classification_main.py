@@ -14,13 +14,11 @@ from medvill_tpu.cli import add_parallelism_args, parallelism_kwargs
 from medvill_tpu.core.config import (BertConfig, ClassificationConfig,
                                      ImageEncoderConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
-from medvill_tpu.core.mesh import (cli_mesh_and_place, shard_batch,
-                                   shard_stacked_batch)
+from medvill_tpu.core.mesh import cli_mesh_and_place
 from medvill_tpu.data.classification import (ClassificationDataset,
                                              get_labels_and_frequencies,
                                              pos_weights)
-from medvill_tpu.data.pretrain import (BatchLoader, PrefetchLoader,
-                                       grouped_batches)
+from medvill_tpu.data.pretrain import BatchLoader, dispatch_loader
 from medvill_tpu.data.tokenization import BertTokenizer
 from medvill_tpu.train import classify
 from medvill_tpu.train.pretrain import TrainState
@@ -249,17 +247,7 @@ def train(args) -> None:
         losses = []
         # prefetch + device placement overlap the running step (same
         # pipeline as the pretrain/finetune CLIs)
-        if k_disp > 1:
-            prefetched = PrefetchLoader(
-                grouped_batches(train_loader, k_disp), depth=2,
-                place_fn=lambda bg: (shard_stacked_batch(mesh, bg[0])
-                                     if bg[1] else shard_batch(mesh, bg[0]),
-                                     bg[1]))
-        else:
-            prefetched = PrefetchLoader(
-                train_loader, depth=2,
-                place_fn=lambda b: (shard_batch(mesh, b), False))
-        for batch, is_group in prefetched:
+        for batch, is_group in dispatch_loader(train_loader, mesh, k_disp):
             train_step = train_step_for(epoch, is_group)
             state, loss = train_step(state, batch,
                                      jax.random.PRNGKey(cfg.seed),

@@ -15,10 +15,8 @@ from medvill_tpu.cli import add_parallelism_args, parallelism_kwargs
 from medvill_tpu.core.config import (BertConfig, FinetuneConfig,
                                      ImageEncoderConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
-from medvill_tpu.core.mesh import (cli_mesh_and_place, multihost_initialize,
-                                   shard_batch, shard_stacked_batch)
-from medvill_tpu.data.pretrain import (BatchLoader, PrefetchLoader,
-                                       grouped_batches)
+from medvill_tpu.core.mesh import cli_mesh_and_place, multihost_initialize
+from medvill_tpu.data.pretrain import BatchLoader, dispatch_loader
 from medvill_tpu.data.seq2seq import Img2TxtDataset
 from medvill_tpu.data.tokenization import BertTokenizer
 from medvill_tpu.data.vqa import VQADataset
@@ -327,16 +325,7 @@ def main(args) -> None:
         agg = {}
         # prefetch + device placement overlap the running step (same
         # pipeline as the pretrain CLI)
-        if k_disp > 1:
-            prefetched = PrefetchLoader(
-                grouped_batches(filtered(loader), k_disp), depth=2,
-                place_fn=lambda bg: (shard_stacked_batch(mesh, bg[0])
-                                     if bg[1] else shard_batch(mesh, bg[0]),
-                                     bg[1]))
-        else:
-            prefetched = PrefetchLoader(
-                filtered(loader), depth=2,
-                place_fn=lambda b: (shard_batch(mesh, b), False))
+        prefetched = dispatch_loader(filtered(loader), mesh, k_disp)
         for batch, is_group in prefetched:
             train_step = step_for_epoch(epoch, is_group)
             state, m = train_step(state, batch,

@@ -20,9 +20,9 @@ from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                      PretrainConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
 from medvill_tpu.core.mesh import (cli_mesh_and_place, multihost_initialize,
-                                   shard_batch, shard_stacked_batch)
+                                   shard_batch)
 from medvill_tpu.data.pretrain import (BatchLoader, CXRPretrainDataset,
-                                       PrefetchLoader, grouped_batches)
+                                       dispatch_loader)
 from medvill_tpu.data.tokenization import BertTokenizer
 from medvill_tpu.train import optim
 from medvill_tpu.train.pretrain import (init_state, make_eval_step,
@@ -278,16 +278,7 @@ def train(args) -> None:
     for epoch in range(cfg.epochs):
         t0 = time.time()
         agg = {}
-        if k_disp > 1:
-            prefetched = PrefetchLoader(
-                grouped_batches(train_loader, k_disp), depth=2,
-                place_fn=lambda bg: (shard_stacked_batch(mesh, bg[0])
-                                     if bg[1] else shard_batch(mesh, bg[0]),
-                                     bg[1]))
-        else:
-            prefetched = PrefetchLoader(
-                train_loader, depth=2,
-                place_fn=lambda b: (shard_batch(mesh, b), False))
+        prefetched = dispatch_loader(train_loader, mesh, k_disp)
         profiling = (args.profile_dir and epoch == 0)
         for i, (batch, is_group) in enumerate(prefetched):
             if profiling and i == 2:

@@ -13,10 +13,8 @@ from medvill_tpu.cli import add_parallelism_args, parallelism_kwargs
 from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                      RetrievalConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
-from medvill_tpu.core.mesh import (cli_mesh_and_place, shard_batch,
-                                   shard_stacked_batch)
-from medvill_tpu.data.pretrain import (BatchLoader, PrefetchLoader,
-                                       grouped_batches)
+from medvill_tpu.core.mesh import cli_mesh_and_place
+from medvill_tpu.data.pretrain import BatchLoader, dispatch_loader
 from medvill_tpu.data.retrieval import CXRRetrievalDataset, collate_pairs
 from medvill_tpu.data.tokenization import BertTokenizer
 from medvill_tpu.train import optim, retrieve
@@ -230,17 +228,8 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
             if k_disp > 1 else None)
         for epoch in range(cfg.epochs):
             losses, accs = [], []
-            if k_disp > 1:
-                prefetched = PrefetchLoader(
-                    grouped_batches(pair_iter(), k_disp), depth=2,
-                    place_fn=lambda bg: (
-                        shard_stacked_batch(mesh, bg[0]) if bg[1]
-                        else shard_batch(mesh, bg[0]), bg[1]))
-            else:
-                prefetched = PrefetchLoader(
-                    pair_iter(), depth=2,
-                    place_fn=lambda b: (shard_batch(mesh, b), False))
-            for batch, is_group in prefetched:
+            for batch, is_group in dispatch_loader(pair_iter(), mesh,
+                                                   k_disp):
                 step = multi_step if is_group else train_step
                 state, m = step(state, batch, jax.random.PRNGKey(cfg.seed))
                 # device values — float() here would host-sync every step

@@ -235,6 +235,25 @@ def grouped_batches(loader, k: int):
         yield (b, False)
 
 
+def dispatch_loader(loader, mesh, k: int, depth: int = 2):
+    """The train CLIs' shared input pipeline: with ``k > 1``, stack groups
+    of k host batches (``grouped_batches``) for the k-micro-steps-per-
+    dispatch scan; either way, prefetch + device-place batches on a
+    background thread so host preprocessing and transfer overlap the
+    running step.  Yields ``(device_batch, is_group)`` — ``is_group``
+    selects the multi- vs single-step jit variant (epoch tails and short
+    epochs ride the single-step path)."""
+    from medvill_tpu.core.mesh import shard_batch, shard_stacked_batch
+
+    if k > 1:
+        return PrefetchLoader(
+            grouped_batches(loader, k), depth=depth,
+            place_fn=lambda bg: (shard_stacked_batch(mesh, bg[0]) if bg[1]
+                                 else shard_batch(mesh, bg[0]), bg[1]))
+    return PrefetchLoader(loader, depth=depth,
+                          place_fn=lambda b: (shard_batch(mesh, b), False))
+
+
 class PrefetchLoader:
     """Wraps any batch iterable with a background-thread prefetch queue so
     host-side preprocessing (image decode, tokenization, masking) overlaps

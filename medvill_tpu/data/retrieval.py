@@ -151,8 +151,12 @@ class CXRRetrievalDataset:
             return idx, pos, neg
         # eval-pool rows use the reference's published key spelling "txt"
         # (full_dset_retrieval.py:147 example row); accept both
-        sample = self._process(d["text"] if "text" in d else d["txt"],
-                               d["img"])
+        txt = d.get("text", d.get("txt"))
+        if txt is None:
+            raise ValueError(
+                "retrieval eval rows need a 'text' or 'txt' key; got keys "
+                f"{sorted(d)}")
+        sample = self._process(txt, d["img"])
         if "is_aligned" not in d:
             raise ValueError(
                 "retrieval eval rows must carry 'is_aligned': eval pools "

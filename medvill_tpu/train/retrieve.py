@@ -81,17 +81,6 @@ def make_train_step(model: CXRBERT, tx, cfg: RetrievalConfig,
     return train_step
 
 
-def make_multi_train_step(model: CXRBERT, tx, cfg: RetrievalConfig, k: int,
-                          attention_fn=None, reuse_batch: bool = False):
-    """``k`` retrieval micro-steps per jit dispatch (lax.scan over
-    [k, 2B, ...]-stacked pos+neg pair batches; see
-    ``optim.scan_micro_steps``)."""
-    from medvill_tpu.train import optim as optim_lib
-
-    step = make_train_step(model, tx, cfg, attention_fn=attention_fn)
-    return optim_lib.scan_micro_steps(step, k, reuse_batch=reuse_batch)
-
-
 def make_score_step(model: CXRBERT, cfg: RetrievalConfig, attention_fn=None):
     """Alignment score = softmax(logits)[:, 1]
     (full_dset_retrieval.py:461-510)."""

@@ -64,6 +64,38 @@ def test_t2i_fixes_text_and_studyid_allows_same_label():
     assert any(l == q["label"] for l in labels) or len(labels) >= 3
 
 
+def test_same_content_never_marked_negative():
+    """Two frontal dicoms of one study share the report text (one record
+    per dicom); under the studyID protocol the sibling's identical text
+    must NOT appear as an is_aligned=0 candidate — that row would be the
+    aligned pair mislabeled and cap R@1/MRR below 1 for a perfect model."""
+    recs = _records(6)
+    recs[1] = dict(recs[1], text=recs[0]["text"])   # sibling dicom
+    rows = bp.build_pools(recs, pool_size=4, direction="i2t",
+                          label_conditioned=False, seed=5)
+    for qi, q in enumerate(recs):
+        for r in rows[qi * 4:(qi + 1) * 4]:
+            if r["is_aligned"] == [0]:
+                assert r["txt"] != q["text"]
+    # t2i: the sibling's identical img must not be a negative either
+    recs = _records(6)
+    recs[1] = dict(recs[1], img=recs[0]["img"])
+    rows = bp.build_pools(recs, pool_size=4, direction="t2i",
+                          label_conditioned=False, seed=5)
+    for qi, q in enumerate(recs):
+        for r in rows[qi * 4:(qi + 1) * 4]:
+            if r["is_aligned"] == [0]:
+                assert r["img"] != q["img"]
+
+
+def test_no_eligible_negatives_message():
+    """All-same-label split under label_conditioned: a descriptive error,
+    even with --allow_replacement (rng.choice([]) would IndexError)."""
+    recs = [dict(r, label="'No Finding'") for r in _records(4)]
+    with pytest.raises(ValueError, match="no eligible negatives"):
+        bp.build_pools(recs, pool_size=3, allow_replacement=True)
+
+
 def test_insufficient_negatives_raises_unless_replacement():
     recs = _records(4)  # one record per label -> 3 eligible negatives each
     with pytest.raises(ValueError, match="eligible"):

@@ -53,15 +53,28 @@ def build_pools(records: List[dict], pool_size: int, direction: str = "i2t",
     # precompute each record's key once so negative selection is O(n) per
     # query instead of O(n) key computations per candidate
     keys = [_token_sort_key(r["label"]) for r in records]
+    # the candidate field that varies within a pool: a negative whose value
+    # EQUALS the query's own would be the aligned pair mislabeled 0 (e.g.
+    # two frontal dicoms of one study share the report text) — exclude by
+    # content, since records carry no study key
+    vary = "text" if direction == "i2t" else "img"
     for qi, q in enumerate(records):
         negatives = [r for j, r in enumerate(records) if j != qi
-                     and (not label_conditioned or keys[j] != keys[qi])]
+                     and (not label_conditioned or keys[j] != keys[qi])
+                     and r[vary] != q[vary]]
         n_need = pool_size - 1
         if len(negatives) < n_need and not allow_replacement:
             raise ValueError(
                 f"query {q.get('id', qi)}: only {len(negatives)} eligible "
                 f"negatives for pool_size={pool_size}; lower --pool_size or "
                 "pass --allow_replacement")
+        if not negatives:
+            raise ValueError(
+                f"query {q.get('id', qi)}: no eligible negatives at all "
+                f"(label {q['label']!r} under "
+                f"{'label_conditioned' if label_conditioned else 'studyID'} "
+                "protocol) — --allow_replacement cannot help; drop the "
+                "query or use the other protocol")
         if len(negatives) >= n_need:
             chosen = rng.sample(negatives, n_need)
         else:

@@ -194,8 +194,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--absolute_img_paths", action="store_true",
                    help="write absolute img paths instead of "
                         "images_root-relative ones")
-    p.add_argument("--require_image", type=lambda s: s.lower() != "false",
-                   default=True,
+    from medvill_tpu.cli import str2bool
+
+    p.add_argument("--require_image", type=str2bool, default=True,
                    help="skip records whose JPG is missing on disk "
                         "(default true)")
     return p

@@ -187,6 +187,150 @@ def bench_finetune(batch: int = 16, iters: int = 8, k: int = 15) -> None:
     }))
 
 
+def bench_classify(batch: int = 24, iters: int = 8, k: int = 10,
+                   n_classes: int = 15) -> None:
+    """MMBT classification train-step throughput (images/sec/chip) at the
+    reference config point: BERT-base, 256 image embeds @512px, max_seq 512,
+    weighted BCE, BertAdam (reference: mmbt/main.py:26-27,87 — batch 56 on
+    2 GPUs there).  Not in the default driver set; run
+    ``python bench.py classify [batch] [iters] [k]``."""
+    import dataclasses
+
+    from medvill_tpu.core.config import (BertConfig, ClassificationConfig,
+                                         ImageEncoderConfig)
+    from medvill_tpu.train import classify
+
+    bert = dataclasses.replace(
+        BertConfig.from_name("bert-base-scratch", 30522), remat=batch > 24)
+    cfg = ClassificationConfig(
+        bert=bert, batch_size=batch, max_seq_len=512, num_image_embeds=256,
+        img_size=512,
+        image=ImageEncoderConfig(num_image_embeds=256, img_size=512,
+                                 encoder="full-fiber"))
+    model = classify.build_model(cfg, n_classes)
+    L = cfg.max_seq_len - cfg.num_image_embeds
+    cls_id, sep_id = 101, 102
+    rng = np.random.default_rng(0)
+    batch_np = dict(
+        input_txt=rng.integers(0, bert.vocab_size, (batch, L)).astype(
+            np.int32),
+        txt_len=np.full((batch,), L, np.int32),
+        segment=np.ones((batch, L), np.int32),
+        image=rng.standard_normal((batch, 512, 512, 3)).astype(np.float32),
+        label=(rng.random((batch, n_classes)) < 0.2).astype(np.float32),
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(batch_np["input_txt"][:2]),
+        jnp.asarray(batch_np["txt_len"][:2]),
+        jnp.asarray(batch_np["segment"][:2]),
+        jnp.zeros((2, 512, 512, 3)), cls_id, sep_id, deterministic=True)
+    from medvill_tpu.train.pretrain import TrainState
+
+    tx = classify.make_tx(cfg, t_total=10000)
+    state = TrainState(step=jnp.zeros([], jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]))
+    pw = np.ones(n_classes, np.float32)
+    k = max(1, k)
+    if k > 1:
+        from medvill_tpu.train import optim
+
+        step = jax.jit(optim.scan_micro_steps(
+            classify.make_train_step(model, tx, cfg, 10000, pw, cls_id,
+                                     sep_id), k, reuse_batch=True),
+            donate_argnums=(0,))
+    else:
+        step = jax.jit(classify.make_train_step(
+            model, tx, cfg, 10000, pw, cls_id, sep_id), donate_argnums=(0,))
+    dev_batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+    one = jnp.asarray(1.0)
+    state, loss = step(state, dev_batch, jax.random.PRNGKey(1), one)
+    _ = float(np.asarray(loss).reshape(-1)[-1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, dev_batch, jax.random.PRNGKey(1), one)
+    _ = float(np.asarray(loss).reshape(-1)[-1])   # end-of-run fence
+    dt = time.perf_counter() - t0
+    rate = batch * iters * k / dt
+    print(json.dumps({
+        "metric": "classification_images_per_sec_per_chip",
+        "value": round(rate, 2),
+        "unit": "images/sec/chip (batch %d)" % batch,
+        # denominator: documented estimate for one A100 at this config
+        # (same class of estimate as the finetune denominator)
+        "vs_baseline": round(rate / 30.0, 3),
+    }))
+
+
+def bench_retrieve(batch_pairs: int = 24, iters: int = 8, k: int = 10
+                   ) -> None:
+    """Retrieval (ITM) train-step throughput at the reference config point:
+    CXRBERT joint encoder, 180 image embeds @512px, seq 253, pos+neg pairs
+    concatenated on batch (reference: full_dset_retrieval.py:14,357-380 —
+    batch 70 on 4 GPUs).  ``batch_pairs`` counts (pos, neg) PAIRS; the
+    device batch is 2x that many rows.  Not in the default driver set; run
+    ``python bench.py retrieve [pairs] [iters] [k]``."""
+    from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
+                                         MaskVariant, RetrievalConfig)
+    from medvill_tpu.models import resnet as resnet_lib
+    from medvill_tpu.train import optim, retrieve
+    from medvill_tpu.train.pretrain import init_state, TrainState
+    from medvill_tpu.core.config import PretrainConfig
+
+    cfg = RetrievalConfig(
+        bert=BertConfig.from_name("bert-base-scratch", 30522),
+        batch_size=batch_pairs, seq_len=253, img_size=512,
+        image=ImageEncoderConfig(num_image_embeds=180, img_size=512))
+    model = retrieve.build_model(cfg)
+    tx = optim.adamw(cfg.lr)
+    tx = optim.masked_trainable(
+        tx, lambda p: resnet_lib.cnn_freeze_mask(p, ("enc", "img_encoder")))
+    pcfg = PretrainConfig(seq_len=cfg.seq_len, bert=cfg.bert,
+                          image=cfg.image, lr=cfg.lr)
+    _, state = init_state(pcfg, jax.random.PRNGKey(0), tx)
+    rows = 2 * batch_pairs
+    rng = np.random.default_rng(0)
+    L1 = cfg.seq_len + 1
+    batch_np = dict(
+        cls_tok=np.full((rows, 1), 101, np.int32),
+        input_txt=rng.integers(0, cfg.bert.vocab_size, (rows, L1)).astype(
+            np.int32),
+        mask_spec=np.stack([np.full(rows, int(MaskVariant.FULL), np.int32),
+                            np.full(rows, L1, np.int32)], -1),
+        segment=np.ones((rows, L1), np.int32),
+        image=rng.standard_normal((rows, 512, 512, 3)).astype(np.float32),
+        sep_tok=np.full((rows, 1), 102, np.int32),
+        is_aligned=np.array([1] * batch_pairs + [0] * batch_pairs,
+                            np.int32),
+    )
+    k = max(1, k)
+    if k > 1:
+        step = jax.jit(optim.scan_micro_steps(
+            retrieve.make_train_step(model, tx, cfg), k, reuse_batch=True),
+            donate_argnums=(0,))
+    else:
+        step = jax.jit(retrieve.make_train_step(model, tx, cfg),
+                       donate_argnums=(0,))
+    dev_batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+    state, m = step(state, dev_batch, jax.random.PRNGKey(1))
+    _ = float(np.asarray(m["loss"]).reshape(-1)[-1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, dev_batch, jax.random.PRNGKey(1))
+    _ = float(np.asarray(m["loss"]).reshape(-1)[-1])   # end-of-run fence
+    dt = time.perf_counter() - t0
+    rate = batch_pairs * iters * k / dt
+    print(json.dumps({
+        "metric": "retrieval_pairs_per_sec_per_chip",
+        "value": round(rate, 2),
+        "unit": "(pos,neg) pairs/sec/chip (batch %d pairs = %d rows)"
+                % (batch_pairs, rows),
+        "vs_baseline": round(rate / 15.0, 3),
+    }))
+
+
 def bench_pretrain(batch: int = 48, steps: int = 120, mode: str = "k60",
                    quiet: bool = False) -> float:
     """Pretrain train-step throughput (the headline metric).
@@ -458,6 +602,17 @@ def main() -> None:
         iters = int(sys.argv[3]) if len(sys.argv) > 3 else 8
         k = int(sys.argv[4]) if len(sys.argv) > 4 else 15
         bench_finetune(batch, iters, k)
+        return
+    if cmd == "classify":
+        bench_classify(batch=int(sys.argv[2]) if len(sys.argv) > 2 else 24,
+                       iters=int(sys.argv[3]) if len(sys.argv) > 3 else 8,
+                       k=int(sys.argv[4]) if len(sys.argv) > 4 else 10)
+        return
+    if cmd == "retrieve":
+        bench_retrieve(
+            batch_pairs=int(sys.argv[2]) if len(sys.argv) > 2 else 24,
+            iters=int(sys.argv[3]) if len(sys.argv) > 3 else 8,
+            k=int(sys.argv[4]) if len(sys.argv) > 4 else 10)
         return
     if cmd == "ab":
         bench_ab(sys.argv[2], sys.argv[3],

@@ -79,6 +79,33 @@ def test_gradients_match_reference():
                                    rtol=3e-4, atol=3e-4)
 
 
+def test_large_padded_shape_shrinks_heads_and_matches():
+    """The MMBT classification layout (256 img embeds -> seq 514, padded
+    beyond the flagship [448, 512]) must shrink heads-per-block below the
+    16M scoped-VMEM limit (24.73M OOM observed at full width on v5e) while
+    the flagship shape keeps all 12 heads, and the shrunk grid must still
+    match the XLA reference numerically."""
+    from medvill_tpu.ops.flash_attention import _heads_per_block
+
+    assert _heads_per_block(12, 64, lq=448, lk=512) == 12
+    hpb = _heads_per_block(12, 64, lq=528, lk=640)
+    assert hpb < 12 and 12 % hpb == 0
+
+    L2, H2, D2 = 514, 12, 64
+    geom = MaskGeometry(num_image_embeds=256, seq_len=L2 - 256 - 3)
+    rng = np.random.default_rng(7)
+    q2, k2, v2 = (jnp.asarray(
+        rng.standard_normal((1, L2, H2, D2)).astype(np.float32))
+        for _ in range(3))
+    spec = jnp.asarray(np.array([[int(MaskVariant.FULL), 200]], np.int32))
+    bias = bias_from_spec(spec, geom)
+    want = mha_reference(q2, k2, v2, bias)
+    got = flash_mha(q2, k2, v2, spec, img_block=geom.img_block, l_real=L2,
+                    family=FAMILY_PRETRAIN)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_dropout_statistics():
     """With dropout active the kernel output stays finite and differs from
     the deterministic one; expectation stays close."""

@@ -210,11 +210,17 @@ def train(args) -> None:
                     args.resnet_init_path)
     if args.loaddir:
         epoch = ckpt_lib.latest_epoch(args.loaddir)
-        if epoch is not None:
-            logger.info("loading pretrain weights from %s", args.loaddir)
-            # partial restore: shared encoder/embedding subtrees
-            restored = ckpt_lib.restore(args.loaddir, epoch, None)
-            params = _merge_pretrained(params, restored)
+        if epoch is None:
+            # fail loudly: a typo'd --loaddir silently training from
+            # random init would report garbage as real results
+            raise FileNotFoundError(
+                f"--loaddir {args.loaddir}: no orbax epoch checkpoint "
+                "found (expected <dir>/<epoch>/ written by pretrain)")
+        logger.info("loading pretrain weights from %s", args.loaddir)
+        # partial restore: shared encoder/embedding subtrees + BN stats
+        restored = ckpt_lib.restore(args.loaddir, epoch, None)
+        params, batch_stats = _merge_pretrained(params, batch_stats,
+                                                restored)
 
     tx = classify.make_tx(cfg, t_total)
     state = TrainState(step=jnp.zeros([], jnp.int32), params=params,
@@ -315,26 +321,34 @@ def train(args) -> None:
     metrics_log.finish()
 
 
-def _merge_pretrained(params, restored):
+def _merge_pretrained(params, batch_stats, restored):
     """Load pretrain weights non-strictly (reference: mmbt/main.py:241-244
     ``load_state_dict(..., strict=False)``): copy matching subtrees from a
-    pretrain TrainState checkpoint into the classification params."""
+    pretrain TrainState checkpoint into the classification params AND
+    batch_stats — the pretrain trunk is frozen, so the BN running
+    mean/var are the only trunk state pretraining updates (the reference's
+    strict=False load carries running_mean/running_var too)."""
     import flax
 
     if restored is None:
-        return params
-    src = restored.get("params", restored)
-    if "enc" in src:
-        src = src["enc"]
-    dst = flax.traverse_util.flatten_dict(params)
-    flat_src = flax.traverse_util.flatten_dict(src)
-    merged = dict(dst)
-    for path, leaf in flat_src.items():
-        for prefix in (("enc",),):
-            cand = prefix + path
+        return params, batch_stats
+
+    def merge_tree(dst_tree, src_tree):
+        if src_tree is None:
+            return dst_tree
+        if "enc" in src_tree:
+            src_tree = src_tree["enc"]
+        dst = flax.traverse_util.flatten_dict(dst_tree)
+        flat_src = flax.traverse_util.flatten_dict(src_tree)
+        merged = dict(dst)
+        for path, leaf in flat_src.items():
+            cand = ("enc",) + path
             if cand in dst and dst[cand].shape == leaf.shape:
                 merged[cand] = leaf
-    return flax.traverse_util.unflatten_dict(merged)
+        return flax.traverse_util.unflatten_dict(merged)
+
+    return (merge_tree(params, restored.get("params", restored)),
+            merge_tree(batch_stats, restored.get("batch_stats")))
 
 
 if __name__ == "__main__":

@@ -240,9 +240,16 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
 
     predictions = []
     total_nll, total_tok = 0.0, 0
-    for start in range(0, len(records) - B + 1, B):
+    for start in range(0, len(records), B):
         chunk = records[start:start + B]
         samples = [prep(r["img"], r["text"], image_loader) for r in chunk]
+        # pad the final short batch by repeating the last sample so the
+        # jitted decode keeps its static [B, ...] shape (the reference's
+        # DataLoader has drop_last=False, generation_decode.py:428 — every
+        # test record must be scored); padded rows are sliced off below
+        n_real = len(samples)
+        if n_real < B:
+            samples = samples + [samples[-1]] * (B - n_real)
         image = jnp.asarray(np.stack([s["image"] for s in samples]))
         gt = jnp.asarray(np.stack([s["gt_token"] for s in samples]))
         if args.beam_size > 1:
@@ -255,8 +262,9 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
             out_ids = np.asarray(out_ids)
             gt_np = np.asarray(gt)
             mask = gt_np != 0
-            total_nll += float((np.asarray(gt_nll) * mask).sum())
-            total_tok += int(mask.sum())
+            total_nll += float((np.asarray(gt_nll)[:n_real]
+                                * mask[:n_real]).sum())
+            total_tok += int(mask[:n_real].sum())
         for i, rec in enumerate(chunk):
             toks = []
             for t in out_ids[i]:
@@ -343,13 +351,18 @@ def run_one(args, logger, metrics_log, best: _Best,
             logger.info("recovered torch model %s", model_path)
         elif model_path is not None:
             epoch = ckpt_lib.latest_epoch(model_path)
-            if epoch is not None:
-                restored = ckpt_lib.restore(model_path, epoch, variables,
-                                            partial=True)
-                variables = {"params": restored["params"],
-                             "batch_stats": restored["batch_stats"]}
-                ckpt_kind = "orbax"
-                logger.info("recovered model %s epoch %s", model_path, epoch)
+            if epoch is None:
+                # fail loudly: a typo'd recover path silently decoding a
+                # randomly initialized model would log garbage BLEU as real
+                raise FileNotFoundError(
+                    f"--model_recover_path {model_path}: not a torch "
+                    "checkpoint file and no orbax epoch found")
+            restored = ckpt_lib.restore(model_path, epoch, variables,
+                                        partial=True)
+            variables = {"params": restored["params"],
+                         "batch_stats": restored["batch_stats"]}
+            ckpt_kind = "orbax"
+            logger.info("recovered model %s epoch %s", model_path, epoch)
         for bootstrap in range(1, args.random_bootstrap_testnum + 1):
             if args.bootstrap_resample:
                 # one random.choice per example, with replacement

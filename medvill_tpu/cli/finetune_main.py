@@ -279,17 +279,34 @@ def main(args) -> None:
         start_epoch = recover + 1
         logger.info("resumed from epoch %d", recover)
     elif cfg.model_recover_path:
-        # pretrain -> finetune weight import (key remap enc.->'' handled by
-        # subtree merge; reference: finetune.py:333-339)
-        pe = ckpt_lib.latest_epoch(cfg.model_recover_path)
-        if pe is not None:
+        if os.path.isfile(cfg.model_recover_path):
+            # torch pretrain checkpoint (the published MedViLL .pth) —
+            # the reference finetune's recover path with the enc.->bert.,
+            # mlm.->cls. key remap (finetune.py:330-357)
+            from medvill_tpu.core import torch_init
+
+            sd = _torch_pretrain_to_vlp_sd(
+                torch_init.load_torch_state_dict(cfg.model_recover_path),
+                getattr(cfg.bert, "relax_projection", 1) or 1)
+            params, bs = torch_init.init_vlp_from_torch(
+                params, state.batch_stats, sd)
+        else:
+            # orbax pretrain run dir (key remap enc.->bert. handled by
+            # subtree merge; reference: finetune.py:333-339)
+            pe = ckpt_lib.latest_epoch(cfg.model_recover_path)
+            if pe is None:
+                # fail loudly: a typo'd recover path silently finetuning
+                # from random init would report garbage as real results
+                raise FileNotFoundError(
+                    f"--model_recover_path {cfg.model_recover_path}: not "
+                    "a torch checkpoint file and no orbax epoch found")
             restored = ckpt_lib.restore(cfg.model_recover_path, pe, None)
-            params = _merge_pretrain(params, restored)
-            state = TrainState(step=state.step, params=params,
-                               batch_stats=state.batch_stats,
-                               opt_state=tx.init(params))
-            logger.info("recovered pretrain weights from %s",
-                        cfg.model_recover_path)
+            params, bs = _merge_pretrain(params, restored,
+                                         state.batch_stats)
+        state = TrainState(step=state.step, params=params,
+                           batch_stats=bs, opt_state=tx.init(params))
+        logger.info("recovered pretrain weights from %s",
+                    cfg.model_recover_path)
 
     state = place_state(state)
     if mp > 1:
@@ -357,10 +374,41 @@ def main(args) -> None:
     metrics_log.finish()
 
 
-def _merge_pretrain(params, restored):
+def _torch_pretrain_to_vlp_sd(sd, relax_projection=1):
+    """Rewrite a torch CXRBERT *pretrain* state_dict into the VLP finetune
+    layout that ``torch_init.init_vlp_from_torch`` ingests: ``enc.`` keys
+    drop their prefix, ``mlm.`` becomes ``cls.`` and ``itm.`` is dropped —
+    the reference finetune's recover remap (finetune.py:333-339,
+    load_state_dict(strict=False)).  Under relax_projection the cls
+    transform leaves are pre-tiled along the torch out-axis
+    (model.py:689-707 stacks the pretrained projection per task)."""
+    from medvill_tpu.core.torch_init import _strip_module_prefix
+
+    out = {}
+    for k, v in _strip_module_prefix(dict(sd)).items():
+        if k.startswith("enc."):
+            out[k[len("enc."):]] = v
+        elif k.startswith("mlm."):
+            out["cls." + k[len("mlm."):]] = v
+        # itm.* has no finetune-model equivalent (strict=False drops it)
+    if relax_projection and relax_projection > 1:
+        for k in ("cls.predictions.transform.dense.weight",
+                  "cls.predictions.transform.dense.bias",
+                  "cls.predictions.transform.LayerNorm.weight",
+                  "cls.predictions.transform.LayerNorm.bias"):
+            if k in out:
+                leaf = np.asarray(out[k])
+                out[k] = np.concatenate([leaf] * relax_projection, axis=0)
+    return out
+
+
+def _merge_pretrain(params, restored, batch_stats=None):
     """Map pretrain CXRBERT params onto the finetune VLP model: ``enc.`` ->
     ``bert.`` (encoder/embeddings/img stack) and ``mlm.`` -> ``cls.``
-    (reference key remap: finetune.py:333-339).
+    (reference key remap: finetune.py:333-339).  When ``batch_stats`` is
+    given, the trunk BN running mean/var transfer under the same remap —
+    the pretrain trunk is frozen, so those stats are the only trunk state
+    pretraining updates; returns ``(params, batch_stats)`` in that case.
 
     Under --relax_projection the finetune MLM-head transform is
     ``relax_projection`` times wider than the pretrain one; the reference
@@ -373,35 +421,42 @@ def _merge_pretrain(params, restored):
     import flax
 
     if restored is None:
+        return params if batch_stats is None else (params, batch_stats)
+
+    def merge_tree(dst_tree, src_tree, tile_widened):
+        if src_tree is None:
+            return dst_tree
+        flat_dst = flax.traverse_util.flatten_dict(dst_tree)
+        flat_src = flax.traverse_util.flatten_dict(src_tree)
+        merged = dict(flat_dst)
+        for path, leaf in flat_src.items():
+            if path[0] == "enc":
+                cand = ("bert",) + path[1:]
+            elif path[0] == "mlm":
+                cand = ("cls",) + path[1:]
+            else:
+                cand = path
+            if cand not in flat_dst:
+                continue
+            dst_shape = flat_dst[cand].shape
+            leaf = np.asarray(leaf)
+            if dst_shape == leaf.shape:
+                merged[cand] = leaf
+            elif (tile_widened and len(cand) >= 2
+                  and cand[-2] in ("transform_dense", "transform_LayerNorm")
+                  and leaf.ndim >= 1 and leaf.shape[-1] > 0
+                  and dst_shape[:-1] == leaf.shape[:-1]
+                  and dst_shape[-1] % leaf.shape[-1] == 0):
+                reps = dst_shape[-1] // leaf.shape[-1]
+                merged[cand] = np.tile(leaf,
+                                       (1,) * (leaf.ndim - 1) + (reps,))
+        return flax.traverse_util.unflatten_dict(merged)
+
+    params = merge_tree(params, restored.get("params", restored), True)
+    if batch_stats is None:
         return params
-    src = restored.get("params", restored)
-    flat_dst = flax.traverse_util.flatten_dict(params)
-    flat_src = flax.traverse_util.flatten_dict(src)
-    merged = dict(flat_dst)
-    n = 0
-    for path, leaf in flat_src.items():
-        if path[0] == "enc":
-            cand = ("bert",) + path[1:]
-        elif path[0] == "mlm":
-            cand = ("cls",) + path[1:]
-        else:
-            cand = path
-        if cand not in flat_dst:
-            continue
-        dst_shape = flat_dst[cand].shape
-        leaf = np.asarray(leaf)
-        if dst_shape == leaf.shape:
-            merged[cand] = leaf
-            n += 1
-        elif (len(cand) >= 2
-              and cand[-2] in ("transform_dense", "transform_LayerNorm")
-              and leaf.ndim >= 1 and leaf.shape[-1] > 0
-              and dst_shape[:-1] == leaf.shape[:-1]
-              and dst_shape[-1] % leaf.shape[-1] == 0):
-            reps = dst_shape[-1] // leaf.shape[-1]
-            merged[cand] = np.tile(leaf, (1,) * (leaf.ndim - 1) + (reps,))
-            n += 1
-    return flax.traverse_util.unflatten_dict(merged)
+    return params, merge_tree(batch_stats, restored.get("batch_stats"),
+                              False)
 
 
 if __name__ == "__main__":

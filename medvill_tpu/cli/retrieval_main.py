@@ -209,10 +209,12 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
             cfg.train_dataset, tokenizer, cfg, is_train=True,
             label_conditioned=args.label_conditioned, seed=cfg.seed,
             cxr_bert=cxr_bert)
-        # pair collate: pos+neg concatenated on batch
-        def pair_iter():
+        # pair collate: pos+neg concatenated on batch; fold the epoch into
+        # the shuffle seed so every epoch visits a fresh order (the
+        # reference's DataLoader(shuffle=True) reshuffles per epoch)
+        def pair_iter(epoch):
             order = np.arange(len(train_ds))
-            np.random.default_rng(cfg.seed).shuffle(order)
+            np.random.default_rng(cfg.seed + epoch).shuffle(order)
             B = cfg.batch_size
             for i in range(len(train_ds) // B):
                 yield collate_pairs([train_ds[int(j)]
@@ -226,9 +228,19 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
         multi_step = (jax.jit(optim.scan_micro_steps(
             make_train(model, tx, cfg), k_disp), donate_argnums=(0,))
             if k_disp > 1 else None)
+        # build the eval pipeline ONCE: a fresh jax.jit(make_score(...))
+        # per epoch would retrace/recompile the scoring program every time
+        eval_ds = eval_loader = score_step = None
+        if args.eval_during_training and valid_path:
+            eval_ds = CXRRetrievalDataset(valid_path, tokenizer, cfg,
+                                          is_train=False, cxr_bert=cxr_bert)
+            eval_loader = BatchLoader(eval_ds, cfg.batch_size,
+                                      shuffle=False, workers=workers,
+                                      drop_last=False)
+            score_step = jax.jit(make_score(model, cfg))
         for epoch in range(cfg.epochs):
             losses, accs = [], []
-            for batch, is_group in dispatch_loader(pair_iter(), mesh,
+            for batch, is_group in dispatch_loader(pair_iter(epoch), mesh,
                                                    k_disp):
                 step = multi_step if is_group else train_step
                 state, m = step(state, batch, jax.random.PRNGKey(cfg.seed))
@@ -242,15 +254,8 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
             if ckpt_lib.is_saving_process(state):
                 ckpt_lib.save(cfg.output_path, epoch, state,
                               config=vars(args))
-            if args.eval_during_training and valid_path:
+            if score_step is not None:
                 # reference: full_dset_retrieval.py:415-458 (valid pool)
-                eval_ds = CXRRetrievalDataset(valid_path, tokenizer,
-                                              cfg, is_train=False,
-                                              cxr_bert=cxr_bert)
-                eval_loader = BatchLoader(eval_ds, cfg.batch_size,
-                                          shuffle=False, workers=workers,
-                                          drop_last=False)
-                score_step = jax.jit(make_score(model, cfg))
                 res = retrieve.run_retrieval_eval(
                     score_step, state, eval_loader, cfg.eval_len_size,
                     cfg.direction,
@@ -265,7 +270,8 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
                                       is_train=False, cxr_bert=cxr_bert)
         eval_loader = BatchLoader(eval_ds, cfg.batch_size, shuffle=False,
                                   workers=workers, drop_last=False)
-        score_step = jax.jit(make_score(model, cfg))
+        if not args.do_train or score_step is None:
+            score_step = jax.jit(make_score(model, cfg))
         results = retrieve.run_retrieval_eval(
             score_step, state, eval_loader, cfg.eval_len_size,
             cfg.direction,

@@ -178,7 +178,7 @@ def greedy_decode(model: VLPForPreTraining, variables, image,
         gt_tokens = jnp.zeros((B, T), jnp.int32)
 
     def step(t, carry):
-        caches, out_ids, out_logp, gt_nll, last_tok, done = carry
+        caches, out_ids, out_logp, gt_nll, last_tok = carry
         # committed slot token: step 0 re-encodes the segment [SEP]
         prev_committed = jnp.where(t == 0, jnp.full((B,), sep_id, jnp.int32),
                                    last_tok)
@@ -209,14 +209,14 @@ def greedy_decode(model: VLPForPreTraining, variables, image,
         out_ids = out_ids.at[:, t].set(next_tok)
         out_logp = out_logp.at[:, t].set(tok_logp)
         gt_nll = gt_nll.at[:, t].set(nll_t)
-        done = done | (next_tok == settings.eos_id)
+        # no EOS freeze: post-EOS tokens are truncated host-side at the
+        # first [SEP] (the reference's loop also decodes to max length)
         committed = jnp.where(teacher_forcing, gt_t, next_tok)
-        return (new_caches, out_ids, out_logp, gt_nll, committed, done)
+        return (new_caches, out_ids, out_logp, gt_nll, committed)
 
     init = (caches, jnp.zeros((B, T), jnp.int32), jnp.zeros((B, T)),
-            jnp.zeros((B, T)), jnp.zeros((B,), jnp.int32),
-            jnp.zeros((B,), jnp.bool_))
-    _, out_ids, out_logp, gt_nll, _, _ = jax.lax.fori_loop(0, T, step, init)
+            jnp.zeros((B, T)), jnp.zeros((B,), jnp.int32))
+    _, out_ids, out_logp, gt_nll, _ = jax.lax.fori_loop(0, T, step, init)
     return out_ids, out_logp, gt_nll
 
 

@@ -296,3 +296,33 @@ def test_retrieval_cli_loads_torch_pretrain_checkpoint(tmp_path):
             for l in open(os.path.join(str(out), "metrics.jsonl"))]
     losses = [r["train_loss"] for r in rows if "train_loss" in r]
     assert losses and all(np.isfinite(losses)), rows
+
+
+def test_classification_merge_transfers_batch_stats():
+    """--loaddir merge must carry the pretrain trunk's BN running stats:
+    the pretrain trunk is frozen, so those stats are the ONLY trunk state
+    pretraining updates (reference mmbt/main.py:241-244 strict=False load
+    includes running_mean/running_var)."""
+    import numpy as np
+
+    from medvill_tpu.cli.classification_main import _merge_pretrained
+
+    params = {"enc": {"w": np.zeros((2, 2), np.float32)},
+              "head": {"w": np.zeros((3,), np.float32)}}
+    batch_stats = {"enc": {"bn1": {"mean": np.zeros((4,), np.float32),
+                                   "var": np.ones((4,), np.float32)}}}
+    restored = {
+        "params": {"enc": {"w": np.ones((2, 2), np.float32)},
+                   "mlm": {"x": np.ones((5,), np.float32)}},
+        "batch_stats": {"enc": {"bn1": {
+            "mean": np.full((4,), 7.0, np.float32),
+            "var": np.full((4,), 3.0, np.float32)}}},
+    }
+    new_p, new_bs = _merge_pretrained(params, batch_stats, restored)
+    assert np.allclose(new_p["enc"]["w"], 1.0)
+    assert np.allclose(new_p["head"]["w"], 0.0)  # untouched
+    assert np.allclose(new_bs["enc"]["bn1"]["mean"], 7.0)
+    assert np.allclose(new_bs["enc"]["bn1"]["var"], 3.0)
+    # no restored tree -> both returned unchanged
+    same_p, same_bs = _merge_pretrained(params, batch_stats, None)
+    assert same_p is params and same_bs is batch_stats

@@ -203,3 +203,59 @@ def test_decode_recovers_torch_finetune_bin(fixture_dir, tmp_path):
     decode_main.main(args)
     results = json.load(open(os.path.join(out, "all_results.json")))
     assert len(results) == 1 and np.isfinite(results[0]["Bleu_1"])
+
+
+def test_decode_covers_tail_batch(fixture_dir, tmp_path):
+    """N records not divisible by the batch size: every record must still
+    be decoded and scored (the reference's DataLoader has drop_last=False,
+    generation_decode.py:428) — regression for a loop that skipped the
+    final short batch entirely (and produced ZERO predictions when
+    N < batch_size)."""
+    d, vocab_size = fixture_dir
+    out = str(tmp_path / "out_tail")
+    common = [
+        "--vocab_file", os.path.join(d, "vocab.txt"),
+        "--src_file", os.path.join(d, "Test.jsonl"),
+        "--model_recover_path", os.path.join(d, "model_a"),
+        "--output_dir", out,
+        "--max_tgt_length", "4",
+        "--len_vis_input", str(VIS),
+        "--img_size", str(IMG),
+        "--max_seq_length", "24",
+        "--bert_model", "test-tiny",
+        "--vocab_size", str(vocab_size),
+    ]
+    # 4 records, batch 3 -> 1 full + 1 short batch; batch 8 -> one short
+    for bs in ("3", "8"):
+        args = decode_main.build_parser().parse_args(
+            common + ["--batch_size", bs])
+        decode_main.main(args)
+        results = json.load(open(os.path.join(out, "all_results.json")))
+        preds = json.load(open(os.path.join(
+            out, results[-1]["run_name"] + "_predictions.json")))
+        assert len(preds) == N_REC, (bs, len(preds))
+        assert {p["image_id"] for p in preds} == {f"s{i}"
+                                                  for i in range(N_REC)}
+        assert results[-1]["ppl"] is not None
+
+
+def test_decode_missing_checkpoint_fails_loudly(fixture_dir, tmp_path):
+    """A recover path with no resolvable checkpoint must raise, not decode
+    a randomly initialized model and log its BLEU as real results."""
+    d, vocab_size = fixture_dir
+    empty = tmp_path / "no_ckpt_here"
+    empty.mkdir()
+    args = decode_main.build_parser().parse_args([
+        "--vocab_file", os.path.join(d, "vocab.txt"),
+        "--src_file", os.path.join(d, "Test.jsonl"),
+        "--model_recover_path", str(empty),
+        "--output_dir", str(tmp_path / "out_err"),
+        "--max_tgt_length", "4",
+        "--len_vis_input", str(VIS),
+        "--img_size", str(IMG),
+        "--max_seq_length", "24",
+        "--bert_model", "test-tiny",
+        "--vocab_size", str(vocab_size),
+    ])
+    with pytest.raises(FileNotFoundError, match="no orbax epoch"):
+        decode_main.main(args)

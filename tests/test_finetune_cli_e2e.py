@@ -113,3 +113,83 @@ def test_finetune_cli_tensor_parallel(tmp_path):
             for l in open(os.path.join(str(out), "metrics.jsonl"))]
     losses = [r["loss"] for r in rows if "loss" in r]
     assert losses and all(np.isfinite(losses)), rows
+
+
+def test_finetune_cli_recovers_torch_pretrain_pth(tmp_path):
+    """--model_recover_path pointing at a torch *pretrain* .pth (the
+    published MedViLL checkpoint format): the CLI must ingest it with the
+    enc.->bert., mlm.->cls. remap (reference finetune.py:330-357), not
+    silently train from random init."""
+    import jax
+    import torch
+
+    from test_torch_full_ckpt import cxrbert_pretrain_sd
+    from medvill_tpu.cli import finetune_main
+    from medvill_tpu.core import checkpoint as ckpt_lib
+    from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
+                                         PretrainConfig)
+    from medvill_tpu.train.pretrain import init_state
+
+    pcfg = PretrainConfig(
+        seq_len=16, bert=BertConfig.test_tiny(vocab_size=32),
+        image=ImageEncoderConfig(img_size=64, num_image_embeds=3,
+                                 encoder="full-fiber"),
+        batch_size=2, use_flash_attention=False)
+    _, src = init_state(pcfg, jax.random.PRNGKey(7))
+    # plant a sentinel in the trunk BN running mean: fresh init is zeros,
+    # so transfer is otherwise unobservable through a training epoch
+    bn1 = src.batch_stats["enc"]["img_encoder"]["bn1"]
+    bn1["mean"] = np.full_like(np.asarray(bn1["mean"]), 5.0)
+    sd = cxrbert_pretrain_sd(src)
+    pth = str(tmp_path / "pretrain_model.50.pth")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               pth)
+
+    train, vocab = _write_dataset(tmp_path)
+    out = tmp_path / "out_ft_pth"
+    args = finetune_main.build_parser().parse_args([
+        "--tasks", "report_generation", "--src_file", train,
+        "--vocab_file", vocab, "--output_dir", str(out),
+        "--bert_model", "test-tiny", "--vocab_size", "32",
+        "--train_batch_size", "8", "--num_train_epochs", "1",
+        "--len_vis_input", "3", "--img_size", "64",
+        "--max_seq_length", "16", "--max_pred", "4", "--max_len_b", "8",
+        "--model_recover_path", pth,
+    ])
+    finetune_main.main(args)
+
+    assert ckpt_lib.latest_epoch(str(out)) == 0
+    saved = ckpt_lib.restore(str(out), 0, None)
+    # the transferred word embeddings must start from the pretrain values
+    # (one tiny-lr epoch moves them negligibly vs a fresh random init)
+    got = np.asarray(saved["params"]["bert"]["embeddings"]
+                     ["word_embeddings"]["embedding"])
+    want = np.asarray(src.params["enc"]["embeddings"]
+                      ["word_embeddings"]["embedding"])
+    assert np.abs(got - want).max() < 1e-2, np.abs(got - want).max()
+    # trunk BN running stats transferred too (the only trunk state the
+    # frozen-trunk pretrain updates): one train epoch decays the sentinel
+    # toward the batch mean (new = m*5.0 + (1-m)*batch), so the saved mean
+    # stays far above the ~0 it would be had batch_stats been dropped
+    got_bn = np.asarray(saved["batch_stats"]["bert"]["img_encoder"]
+                        ["bn1"]["mean"])
+    assert got_bn.mean() > 2.0, got_bn.mean()
+
+
+def test_finetune_cli_missing_recover_fails_loudly(tmp_path):
+    from medvill_tpu.cli import finetune_main
+
+    train, vocab = _write_dataset(tmp_path)
+    empty = tmp_path / "no_ckpt"
+    empty.mkdir()
+    args = finetune_main.build_parser().parse_args([
+        "--tasks", "report_generation", "--src_file", train,
+        "--vocab_file", vocab, "--output_dir", str(tmp_path / "out_err"),
+        "--bert_model", "test-tiny", "--vocab_size", "32",
+        "--train_batch_size", "8", "--num_train_epochs", "1",
+        "--len_vis_input", "3", "--img_size", "64",
+        "--max_seq_length", "16", "--max_pred", "4", "--max_len_b", "8",
+        "--model_recover_path", str(empty),
+    ])
+    with pytest.raises(FileNotFoundError, match="no orbax epoch"):
+        finetune_main.main(args)

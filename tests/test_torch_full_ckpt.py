@@ -130,13 +130,9 @@ def assert_trees_equal(a, b, atol=0.0):
             atol=atol, err_msg=jax.tree_util.keystr(path))
 
 
-def test_cxrbert_pretrain_checkpoint_roundtrip():
-    from medvill_tpu.train.pretrain import init_state
-
-    cfg = tiny_pretrain_cfg()
-    _, src = init_state(cfg, jax.random.PRNGKey(0))
-    _, dst = init_state(cfg, jax.random.PRNGKey(1))
-
+def cxrbert_pretrain_sd(src):
+    """The published-MedViLL pretrain torch layout from a pretrain
+    TrainState (cxrbert_origin.py:132-149 key names)."""
     sd = bert_sd("enc.", src.params["enc"])
     # CXRBERT uses enc.txt_embeddings / enc.encoder naming
     # (cxrbert_origin.py:57,72); bert_sd already emits those
@@ -158,7 +154,17 @@ def test_cxrbert_pretrain_checkpoint_roundtrip():
     sd["mlm.predictions.bias"] = np32(src.params["mlm"]["decoder_bias"])
     sd["itm.linear.weight"] = np32(src.params["itm"]["linear"]["kernel"]).T
     sd["itm.linear.bias"] = np32(src.params["itm"]["linear"]["bias"])
+    return sd
 
+
+def test_cxrbert_pretrain_checkpoint_roundtrip():
+    from medvill_tpu.train.pretrain import init_state
+
+    cfg = tiny_pretrain_cfg()
+    _, src = init_state(cfg, jax.random.PRNGKey(0))
+    _, dst = init_state(cfg, jax.random.PRNGKey(1))
+
+    sd = cxrbert_pretrain_sd(src)
     new_params, new_bs = torch_init.init_cxrbert_from_torch(
         dst.params, dst.batch_stats, sd)
     assert_trees_equal(src.params, new_params)
@@ -269,3 +275,65 @@ def test_cnn_bert_checkpoint_roundtrip():
         jax.tree_util.tree_map(np32, dst["batch_stats"]), sd)
     assert_trees_equal(src["params"], new_params)
     assert_trees_equal(src["batch_stats"], new_bs)
+
+
+def test_finetune_recovers_torch_pretrain_checkpoint():
+    """--model_recover_path pointing at the published torch *pretrain*
+    .pth: the finetune entry remaps enc.->bert., mlm.->cls. and drops itm.
+    (reference: sc/finetune.py:330-357 load_state_dict(strict=False)),
+    tiling the cls transform leaves under relax_projection
+    (model.py:689-707)."""
+    from medvill_tpu.cli.finetune_main import _torch_pretrain_to_vlp_sd
+    from medvill_tpu.train import finetune as ft
+    from medvill_tpu.train.pretrain import init_state
+
+    cfg_pre = tiny_pretrain_cfg()
+    _, src = init_state(cfg_pre, jax.random.PRNGKey(0))
+    sd_pre = cxrbert_pretrain_sd(src)
+
+    for relax in (1, 4):
+        bert = BertConfig.vlp(BertConfig.test_tiny(vocab_size=64))
+        if relax > 1:
+            bert = dataclasses.replace(bert, relax_projection=relax)
+        cfg = FinetuneConfig(
+            bert=bert, len_vis_input=4, img_size=64, max_seq_length=32,
+            max_pred=3,
+            image=ImageEncoderConfig(img_size=64, num_image_embeds=4,
+                                     encoder="full-fiber"),
+            use_flash_attention=False)
+        model = ft.build_model(cfg)
+        L = cfg.max_seq_length
+        dst = model.init(
+            {"params": jax.random.PRNGKey(1)},
+            jnp.zeros((2, 64, 64, 3)), jnp.zeros((2, L), jnp.int32),
+            jnp.zeros((2, L), jnp.int32), jnp.zeros((2, 1, L, L)),
+            masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
+            deterministic=True)
+
+        sd = _torch_pretrain_to_vlp_sd(sd_pre, relax)
+        assert not any(k.startswith(("enc.", "mlm.", "itm.")) for k in sd)
+        new_params, new_bs = torch_init.init_vlp_from_torch(
+            jax.tree_util.tree_map(np32, dst["params"]),
+            jax.tree_util.tree_map(np32, dst["batch_stats"]), sd)
+
+        # encoder/embeddings/trunk transfer under the bert. remap
+        assert_trees_equal(src.params["enc"]["encoder"],
+                           new_params["bert"]["encoder"])
+        assert_trees_equal(src.params["enc"]["img_projection"],
+                           new_params["bert"]["img_projection"])
+        assert_trees_equal(src.batch_stats["enc"]["img_encoder"],
+                           new_bs["bert"]["img_encoder"])
+        # cls head: pretrain mlm transform tiled relax x along the widened
+        # kernel axis (torch stack-along-out == flax tile-along-last)
+        got = np.asarray(new_params["cls"]["transform_dense"]["kernel"])
+        want = np.tile(np32(src.params["mlm"]["transform_dense"]["kernel"]),
+                       (1, relax))
+        np.testing.assert_allclose(got, want)
+        got_ln = np.asarray(new_params["cls"]["transform_LayerNorm"]["scale"])
+        np.testing.assert_allclose(
+            got_ln,
+            np.tile(np32(src.params["mlm"]["transform_LayerNorm"]["scale"]),
+                    relax))
+        np.testing.assert_allclose(
+            np.asarray(new_params["cls"]["decoder_bias"]),
+            np32(src.params["mlm"]["decoder_bias"]))

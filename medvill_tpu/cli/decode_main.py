@@ -44,7 +44,8 @@ from medvill_tpu.core.config import (BertConfig, DecodeConfig,
 from medvill_tpu.core import checkpoint as ckpt_lib
 from medvill_tpu.data import images as image_lib
 from medvill_tpu.data.seq2seq import Seq2seqDecodePreprocessor
-from medvill_tpu.data.tokenization import BertTokenizer, detokenize
+from medvill_tpu.data.tokenization import (BertTokenizer,
+                                            caption_from_ids)
 from medvill_tpu.eval.bleu import language_eval_bleu
 from medvill_tpu.models.decoder import (DecodeSettings, beam_search,
                                         greedy_decode)
@@ -266,13 +267,7 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
                                 * mask[:n_real]).sum())
             total_tok += int(mask[:n_real].sum())
         for i, rec in enumerate(chunk):
-            toks = []
-            for t in out_ids[i]:
-                tok = tokenizer.ids_to_tokens.get(int(t), "[UNK]")
-                if tok == "[SEP]":
-                    break
-                toks.append(tok)
-            caption = " ".join(detokenize(toks))
+            caption = caption_from_ids(tokenizer, out_ids[i])
             predictions.append({"image_id": rec.get("id", str(start + i)),
                                 "caption": caption,
                                 "gt_caption": rec["text"],

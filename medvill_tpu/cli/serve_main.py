@@ -1,0 +1,310 @@
+"""Report-generation serving endpoint (beyond parity — the reference ships
+no inference server; its only decode path is the offline eval script
+sc/generation_decode.py).
+
+TPU-shaped serving design: ONE fixed-batch KV-cached decode program is
+compiled up front (static shapes — no per-request recompiles), requests are
+dynamically micro-batched by a single dispatcher thread (short batches pad
+by repeating the last row, the padded rows are discarded), and the HTTP
+layer stays on host threads so image decode overlaps device execution.
+
+API:
+  GET  /healthz            -> {"status": "ok", model/config info}
+  POST /generate           -> {"caption": ...}    (single image)
+       body JSON: {"image_b64": <base64 bytes of any PIL-decodable image>}
+                  or {"image_path": <server-local path>}
+
+Checkpoint recovery accepts the same forms as the decode CLI: an orbax run
+dir or a torch model.{epoch}.bin finetune checkpoint (with the reference's
+bert.-prefix key remap, generation_decode.py:377-410).
+"""
+from __future__ import annotations
+
+import argparse
+import base64
+import dataclasses
+import io
+import json
+import os
+import queue
+import threading
+import time
+
+import numpy as np
+
+from medvill_tpu.cli import str2bool
+from medvill_tpu.core import checkpoint as ckpt_lib
+from medvill_tpu.core.config import (BertConfig, FinetuneConfig,
+                                     ImageEncoderConfig)
+from medvill_tpu.data import images as image_lib
+from medvill_tpu.data.tokenization import BertTokenizer, caption_from_ids
+from medvill_tpu.models.decoder import (DecodeSettings, beam_search,
+                                        greedy_decode)
+from medvill_tpu.train import finetune as ft
+from medvill_tpu.utils.logging import create_logger
+from medvill_tpu.utils.seed import set_seed
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--vocab_file", type=str, required=True)
+    p.add_argument("--model_recover_path", type=str, required=True,
+                   help="orbax checkpoint dir OR torch model.{epoch}.bin")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8390)
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="compiled decode batch; requests are micro-batched "
+                        "up to this size")
+    p.add_argument("--max_wait_ms", type=int, default=25,
+                   help="micro-batching window: how long the dispatcher "
+                        "waits to fill a batch after the first request")
+    p.add_argument("--beam_size", type=int, default=1)
+    p.add_argument("--length_penalty", type=float, default=0.0)
+    p.add_argument("--forbid_duplicate_ngrams", type=str2bool, default=False)
+    p.add_argument("--ngram_size", type=int, default=3)
+    p.add_argument("--min_len", type=int, default=0)
+    p.add_argument("--max_txt_length", type=int, default=128)
+    p.add_argument("--len_vis_input", type=int, default=256)
+    p.add_argument("--img_size", type=int, default=512)
+    p.add_argument("--max_seq_length", type=int, default=None)
+    p.add_argument("--new_segment_ids", type=str2bool, default=True)
+    p.add_argument("--bert_model", type=str, default="bert-base-scratch")
+    p.add_argument("--vocab_size", type=int, default=30522)
+    p.add_argument("--config_path", type=str, default=None)
+    p.add_argument("--relax_projection", action="store_true")
+    p.add_argument("--decode_positions", type=str, default="auto",
+                   choices=["auto", "reference", "train", "global"])
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--warmup", type=str2bool, default=True,
+                   help="compile + run one dummy batch before accepting "
+                        "requests (first XLA compile takes minutes)")
+    return p
+
+
+def build_engine(args, logger):
+    """Model + recovered variables + ONE jitted fixed-batch decode fn.
+    Returns (run(images[B,H,W,3]) -> ids[B,T], tokenizer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from medvill_tpu.cli.decode_main import _resolve_positions
+
+    set_seed(args.seed)
+    tokenizer = BertTokenizer.from_vocab_file(args.vocab_file)
+    bert = BertConfig.vlp(
+        BertConfig.from_name(args.bert_model, args.vocab_size),
+        new_segment_ids=args.new_segment_ids)
+    if args.relax_projection:
+        bert = dataclasses.replace(bert, relax_projection=4)
+    if args.config_path:
+        bert = BertConfig.from_reference_json(args.config_path, base=bert)
+    if args.max_seq_length is None:
+        args.max_seq_length = args.max_txt_length + args.len_vis_input + 3
+    cfg = FinetuneConfig(
+        max_seq_length=args.max_seq_length,
+        len_vis_input=args.len_vis_input, img_size=args.img_size,
+        new_segment_ids=args.new_segment_ids, bert=bert,
+        image=ImageEncoderConfig(num_image_embeds=args.len_vis_input,
+                                 img_size=args.img_size,
+                                 encoder="full-fiber"))
+    model = ft.build_model(cfg)
+    L = cfg.max_seq_length
+    init_vars = model.init(
+        {"params": jax.random.PRNGKey(args.seed)},
+        jnp.zeros((2, cfg.img_size, cfg.img_size, 3)),
+        jnp.zeros((2, L), jnp.int32), jnp.zeros((2, L), jnp.int32),
+        jnp.zeros((2, 1, L, L)),
+        masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
+        deterministic=True)
+    variables = {"params": init_vars["params"],
+                 "batch_stats": init_vars.get("batch_stats", {})}
+
+    path = args.model_recover_path
+    if os.path.isfile(path):
+        from medvill_tpu.core import torch_init
+
+        new_params, new_bs = torch_init.init_vlp_from_torch(
+            variables["params"], variables["batch_stats"], path)
+        variables = {"params": new_params, "batch_stats": new_bs}
+        ckpt_kind = "torch"
+    else:
+        epoch = ckpt_lib.latest_epoch(path)
+        if epoch is None:
+            raise FileNotFoundError(
+                f"--model_recover_path {path}: not a torch checkpoint file "
+                "and no orbax epoch found — refusing to serve random init")
+        restored = ckpt_lib.restore(path, epoch, variables, partial=True)
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"]}
+        ckpt_kind = "orbax"
+    logger.info("recovered %s checkpoint %s", ckpt_kind, path)
+
+    v = tokenizer.vocab
+    settings = DecodeSettings(
+        max_txt_length=args.max_txt_length, mask_word_id=v["[MASK]"],
+        eos_id=v["[SEP]"], beam_size=args.beam_size,
+        length_penalty=args.length_penalty,
+        forbid_duplicate_ngrams=args.forbid_duplicate_ngrams,
+        ngram_size=args.ngram_size, min_len=args.min_len,
+        new_segment_ids=args.new_segment_ids,
+        window_positions=_resolve_positions(args, ckpt_kind, logger))
+
+    if args.beam_size > 1:
+        run_b = jax.jit(lambda im: beam_search(
+            model, variables, im, settings, v["[CLS]"], v["[SEP]"])[0])
+        run = lambda im: np.asarray(run_b(im))
+    else:
+        run_g = jax.jit(lambda im: greedy_decode(
+            model, variables, im, settings, v["[CLS]"], v["[SEP]"])[0])
+        run = lambda im: np.asarray(run_g(im))
+    return run, tokenizer
+
+
+class MicroBatcher:
+    """Single dispatcher thread: collects requests for up to max_wait_ms
+    (or until the compiled batch fills), pads short batches by repeating
+    the last image, runs the jitted decode, fans results back out."""
+
+    def __init__(self, run, batch_size: int, max_wait_ms: int):
+        self._run = run
+        self._B = batch_size
+        self._wait_s = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray) -> str:
+        """Blocks until the caption for `image` [H, W, 3] is ready."""
+        done = threading.Event()
+        slot = {"done": done}
+        self._q.put((image, slot))
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["ids"]
+
+    def _loop(self):
+        while True:
+            items = [self._q.get()]
+            deadline = time.monotonic() + self._wait_s
+            while len(items) < self._B:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            images = [it[0] for it in items]
+            n_real = len(images)
+            if n_real < self._B:
+                images = images + [images[-1]] * (self._B - n_real)
+            try:
+                import jax.numpy as jnp
+
+                ids = self._run(jnp.asarray(np.stack(images)))
+            except Exception as e:  # fan the failure out to every waiter
+                for _, slot in items:
+                    slot["error"] = repr(e)
+                    slot["done"].set()
+                continue
+            for i, (_, slot) in enumerate(items):
+                slot["ids"] = ids[i]
+                slot["done"].set()
+
+
+def make_handler(batcher: MicroBatcher, tokenizer, args, logger):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *a):  # route to our logger, not stderr
+            logger.info("%s " + fmt, self.address_string(), *a)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {
+                    "status": "ok",
+                    "model_recover_path": args.model_recover_path,
+                    "batch_size": args.batch_size,
+                    "beam_size": args.beam_size,
+                    "max_txt_length": args.max_txt_length})
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if "image_b64" in req:
+                    raw = io.BytesIO(base64.b64decode(req["image_b64"]))
+                    image = _load(raw, args)
+                elif "image_path" in req:
+                    image = _load(req["image_path"], args)
+                else:
+                    self._reply(400, {"error":
+                                      "need image_b64 or image_path"})
+                    return
+            except Exception as e:
+                self._reply(400, {"error": f"bad request: {e!r}"})
+                return
+            try:
+                ids = batcher.submit(image)
+            except RuntimeError as e:
+                self._reply(500, {"error": str(e)})
+                return
+            self._reply(200,
+                        {"caption": caption_from_ids(tokenizer, ids)})
+
+    return Handler
+
+
+def _load(path_or_file, args) -> np.ndarray:
+    """Same transform stack as decode eval (load_image handles paths and
+    file objects — PIL's Image.open accepts both)."""
+    return image_lib.load_image(
+        path_or_file, args.img_size, grayscale_to_rgb=True,
+        do_resize=(args.len_vis_input < 100)).astype(np.float32)
+
+
+def make_server(args, logger):
+    """Build engine + micro-batcher + HTTP server (not yet serving)."""
+    from http.server import ThreadingHTTPServer
+
+    run, tokenizer = build_engine(args, logger)
+    if args.warmup:
+        t0 = time.perf_counter()
+        rng = np.random.default_rng(0)
+        _ = run(np.stack([image_lib.synthetic_image(rng, args.img_size)
+                          for _ in range(args.batch_size)]))
+        logger.info("warmup compile+run: %.1fs", time.perf_counter() - t0)
+    batcher = MicroBatcher(run, args.batch_size, args.max_wait_ms)
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(batcher, tokenizer, args, logger))
+    return server
+
+
+def main(args):
+    logger = create_logger(None, args)
+    server = make_server(args, logger)
+    logger.info("serving on http://%s:%d (batch %d, wait %dms)",
+                *server.server_address, args.batch_size, args.max_wait_ms)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

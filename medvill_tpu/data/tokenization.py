@@ -227,3 +227,16 @@ def detokenize(tokens: List[str]) -> List[str]:
         else:
             out.append(tk)
     return out
+
+
+def caption_from_ids(tokenizer, ids) -> str:
+    """Decoded token ids -> caption text: stop at the first [SEP], merge
+    wordpieces (the decode entry's output post-processing,
+    generation_decode.py:558-566)."""
+    toks: List[str] = []
+    for t in ids:
+        tok = tokenizer.ids_to_tokens.get(int(t), "[UNK]")
+        if tok == "[SEP]":
+            break
+        toks.append(tok)
+    return " ".join(detokenize(toks))

@@ -1,0 +1,129 @@
+"""Serving endpoint (beyond parity): fixed-batch compiled decode + dynamic
+micro-batching behind HTTP.  Drives a real ThreadingHTTPServer on an
+ephemeral port with concurrent clients so the pad-short-batch path and the
+fan-out both execute."""
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from medvill_tpu.cli import serve_main
+from medvill_tpu.core import checkpoint as ckpt_lib
+from medvill_tpu.core.config import (BertConfig, FinetuneConfig,
+                                     ImageEncoderConfig)
+from medvill_tpu.data.tokenization import build_vocab
+from medvill_tpu.train import finetune as ft
+
+IMG = 64
+VIS = 4
+
+
+@pytest.fixture(scope="module")
+def server_fixture(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve_fixture")
+    words = [f"word{i}" for i in range(40)]
+    vocab = build_vocab(words)
+    with open(d / "vocab.txt", "w") as f:
+        for tok in vocab:
+            f.write(tok + "\n")
+    cfg = FinetuneConfig(
+        bert=BertConfig.vlp(BertConfig.test_tiny(vocab_size=len(vocab))),
+        image=ImageEncoderConfig(img_size=IMG, num_image_embeds=VIS,
+                                 encoder="full-fiber"),
+        len_vis_input=VIS, max_seq_length=24, max_pred=3, img_size=IMG)
+    model = ft.build_model(cfg)
+    L = cfg.max_seq_length
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((2, IMG, IMG, 3)), jnp.zeros((2, L), jnp.int32),
+        jnp.zeros((2, L), jnp.int32), jnp.zeros((2, 1, L, L)),
+        masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
+        deterministic=True)
+    ckpt_lib.save(str(d / "model_a"), 0,
+                  {"params": variables["params"],
+                   "batch_stats": variables.get("batch_stats", {})})
+
+    args = serve_main.build_parser().parse_args([
+        "--vocab_file", str(d / "vocab.txt"),
+        "--model_recover_path", str(d / "model_a"),
+        "--host", "127.0.0.1", "--port", "0",  # ephemeral port
+        "--batch_size", "2", "--max_wait_ms", "30",
+        "--max_txt_length", "4",
+        "--len_vis_input", str(VIS),
+        "--img_size", str(IMG),
+        "--max_seq_length", "24",
+        "--bert_model", "test-tiny",
+        "--vocab_size", str(len(vocab)),
+    ])
+    import logging
+
+    server = serve_main.make_server(args, logging.getLogger("test-serve"))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield server.server_address
+    server.shutdown()
+
+
+def _png_b64(seed: int) -> str:
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 255, (IMG, IMG), np.uint8),
+                    "L").save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _post(addr, payload: dict):
+    req = urllib.request.Request(
+        f"http://{addr[0]}:{addr[1]}/generate",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server_fixture):
+    with urllib.request.urlopen(
+            f"http://{server_fixture[0]}:{server_fixture[1]}/healthz",
+            timeout=30) as r:
+        body = json.loads(r.read())
+    assert r.status == 200 and body["status"] == "ok"
+    assert body["batch_size"] == 2
+
+
+def test_generate_concurrent_micro_batched(server_fixture):
+    """3 concurrent requests through a batch-2 server: one full batch plus
+    one padded short batch; every caller gets its own caption."""
+    results = {}
+
+    def call(i):
+        results[i] = _post(server_fixture, {"image_b64": _png_b64(i)})
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert set(results) == {0, 1, 2}
+    for i, (status, body) in results.items():
+        assert status == 200, (i, body)
+        assert isinstance(body["caption"], str)
+
+
+def test_generate_bad_request(server_fixture):
+    import urllib.error
+
+    try:
+        status, body = _post(server_fixture, {"nope": 1})
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status == 400 and "error" in body

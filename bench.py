@@ -235,12 +235,11 @@ def bench_classify(batch: int = 24, iters: int = 8, k: int = 10,
     pw = np.ones(n_classes, np.float32)
     k = max(1, k)
     if k > 1:
-        from medvill_tpu.train import optim
-
-        step = jax.jit(optim.scan_micro_steps(
-            classify.make_train_step(model, tx, cfg, 10000, pw, cls_id,
-                                     sep_id), k, reuse_batch=True),
-            donate_argnums=(0,))
+        # the trainer's own multi-step composition — benching a private
+        # re-composition could silently drift from what the CLI runs
+        step = jax.jit(classify.make_multi_train_step(
+            model, tx, cfg, 10000, pw, cls_id, sep_id, k,
+            reuse_batch=True), donate_argnums=(0,))
     else:
         step = jax.jit(classify.make_train_step(
             model, tx, cfg, 10000, pw, cls_id, sep_id), donate_argnums=(0,))
@@ -359,8 +358,18 @@ def bench_pretrain(batch: int = 48, steps: int = 120, mode: str = "k60",
     import dataclasses
 
     tokens = [t for t in mode.split(",") if t]
-    remat = tokens[0] in ("remat", "rematall") if tokens else False
-    remat_blocks = bool(tokens) and tokens[0] == "rematall"
+    known = {"remat", "rematall", "noremat", "fuse", "nos2d"}
+    for t in tokens:
+        if t not in known and not (
+                (t.startswith("k") and t[1:].isdigit())
+                or (t.startswith("hpbbwd") and t[6:].isdigit())):
+            # a typo'd token silently benchmarking the wrong config would
+            # poison an A/B comparison — fail loudly instead
+            raise SystemExit(
+                f"unknown bench mode token {t!r}; known: "
+                f"{sorted(known)} k<N> hpbbwd<N>")
+    remat = "remat" in tokens or "rematall" in tokens
+    remat_blocks = "rematall" in tokens
     k = 10
     for t in tokens:
         if t.startswith("k") and t[1:].isdigit():
@@ -641,9 +650,16 @@ def main() -> None:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)] + argv,
                     timeout=900, stdout=subprocess.PIPE,
-                    stderr=subprocess.DEVNULL)
+                    stderr=subprocess.PIPE)
                 sys.stdout.write(r.stdout.decode())
                 sys.stdout.flush()
+                if r.returncode != 0:
+                    # surface the failure + its stderr tail — a silently
+                    # vanished sub-mode would read as "metric not measured"
+                    print("bench sub-mode %s exited %d:\n%s"
+                          % (argv[0], r.returncode,
+                             r.stderr.decode(errors="replace")[-2000:]),
+                          file=sys.stderr)
             except Exception as e:  # noqa: BLE001 — keep the headline alive
                 print("bench sub-mode %s failed: %r" % (argv[0], e),
                       file=sys.stderr)

@@ -146,8 +146,13 @@ int wp_tokenize(void* h, const char* text, int* out_ids, int max_out) {
     }
   }
   flush();
+  if (ids.size() > static_cast<size_t>(max_out)) {
+    // overflow: signal the caller to use the exact Python fallback rather
+    // than silently truncating (the wrapper treats any negative return as
+    // "take the fallback path", same as the non-ASCII signal above)
+    return -1;
+  }
   int count = static_cast<int>(ids.size());
-  if (count > max_out) count = max_out;
   for (int i = 0; i < count; ++i) out_ids[i] = ids[i];
   return count;
 }

@@ -94,3 +94,14 @@ def test_native_faster_than_python(native, vocab_file):
     t_python = time.perf_counter() - t0
     # building the python tokenizer per call dominates; compare loosely
     assert t_native < t_python
+
+
+def test_overflow_falls_back_exactly(native, vocab_file):
+    """A text producing more than MAX_IDS wordpieces must NOT be silently
+    truncated by the C path: the library signals overflow (-1) and the
+    wrapper takes the exact Python fallback, so outputs stay identical."""
+    text = "lung " * (native.MAX_IDS + 10)
+    got = native.tokenize_to_ids(text)
+    want = python_ids(vocab_file, text)
+    assert len(got) > native.MAX_IDS
+    assert got == want

@@ -63,18 +63,21 @@ def build_pools(records: List[dict], pool_size: int, direction: str = "i2t",
                      and (not label_conditioned or keys[j] != keys[qi])
                      and r[vary] != q[vary]]
         n_need = pool_size - 1
-        if len(negatives) < n_need and not allow_replacement:
-            raise ValueError(
-                f"query {q.get('id', qi)}: only {len(negatives)} eligible "
-                f"negatives for pool_size={pool_size}; lower --pool_size or "
-                "pass --allow_replacement")
-        if not negatives:
+        # diagnose the unfixable case FIRST: with zero eligible negatives
+        # --allow_replacement cannot help, so advising it would send the
+        # user through a second O(n^2) build for the same failure
+        if not negatives and n_need > 0:
             raise ValueError(
                 f"query {q.get('id', qi)}: no eligible negatives at all "
                 f"(label {q['label']!r} under "
                 f"{'label_conditioned' if label_conditioned else 'studyID'} "
                 "protocol) — --allow_replacement cannot help; drop the "
                 "query or use the other protocol")
+        if len(negatives) < n_need and not allow_replacement:
+            raise ValueError(
+                f"query {q.get('id', qi)}: only {len(negatives)} eligible "
+                f"negatives for pool_size={pool_size}; lower --pool_size or "
+                "pass --allow_replacement")
         if len(negatives) >= n_need:
             chosen = rng.sample(negatives, n_need)
         else:

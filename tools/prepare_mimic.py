@@ -19,7 +19,9 @@ read (data/pretrain.py:9, reference dataset_origin.py:80-181):
   label-conditioned ITM/retrieval samplers fuzzy-match,
   dataset_origin.py:211-229).  Studies with no positive get ``""`` (the
   readers map that to ``'Others'``: mmbt/data/dataset.py:56-64).
-- ``img``: path to the study's JPG, relative to ``--images_root`` unless
+- ``img``: path to the study's JPG, relative to ``--out_dir`` (every
+  consumer — CXRPretrainDataset, CXRRetrievalDataset, the decode CLI —
+  resolves relative paths against the JSONL's own directory) unless
   ``--absolute_img_paths``.
 - ``split``: train/valid/test (the official CSV says "validate"; the
   reference's file naming uses Valid — both spellings accepted on read).
@@ -159,7 +161,11 @@ def prepare(args) -> Dict[str, int]:
                 "split": split,
                 "label": labels.get((subject_id, study_id), ""),
                 "text": text,
-                "img": abs_img if args.absolute_img_paths else rel_img,
+                # relative paths must be relative to the JSONL's own
+                # directory: that is what every reader joins against
+                # (data/pretrain.py, data/retrieval.py, cli/decode_main.py)
+                "img": (abs_img if args.absolute_img_paths
+                        else os.path.relpath(abs_img, args.out_dir)),
             }
             writers[split].write(json.dumps(record, ensure_ascii=False)
                                  + "\n")

@@ -104,6 +104,11 @@ def parse_xplane() -> None:
     detail = collections.Counter()
 
     def module_of(provenance: str) -> str:
+        # attention FIRST: kernel ops are scoped under enc/encoder/layer_N
+        # too, so the encoder branch would otherwise swallow them and the
+        # per-module split would report attention ~0
+        if "flash" in provenance or "attention_kernel" in provenance:
+            return "attention"
         if "img_encoder" in provenance:
             return "resnet_trunk"
         if "enc/encoder" in provenance or "bert/encoder" in provenance:
@@ -112,8 +117,6 @@ def parse_xplane() -> None:
             return "mlm_head"
         if "transpose(jvp" in provenance or "/adamw" in provenance:
             return "optimizer_or_bwd"
-        if "flash" in provenance or "attention_kernel" in provenance:
-            return "attention"
         return "other"
 
     def leaf_provenance(node) -> str:

@@ -5,6 +5,7 @@ kernel's step share.
 
 Usage: python tools/tpu_attention_check.py [B] [iters]
 """
+import os
 import sys
 import time
 
@@ -12,7 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 from medvill_tpu.core.config import MaskVariant
 from medvill_tpu.data.masks import MaskGeometry, bias_from_spec

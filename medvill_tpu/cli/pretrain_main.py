@@ -251,9 +251,31 @@ def train(args) -> None:
         logger.info("initialized visual trunk from %s (trunk frozen=%s)",
                     args.resnet_init_path, cfg.image.freeze_prefix_stages)
     if cfg.weight_load and cfg.pre_trained_model_path:
-        epoch = ckpt_lib.latest_epoch(cfg.pre_trained_model_path)
-        if epoch is not None:
-            state = ckpt_lib.restore(cfg.pre_trained_model_path, epoch, state)
+        if os.path.isfile(cfg.pre_trained_model_path):
+            # torch CXRBERT pretrain .pth (the published MedViLL weights):
+            # the reference's --weight_load restarts pretraining from
+            # CXRBERT.from_pretrained (main_origin.py:106-115,
+            # train_origin.py:28-34)
+            from medvill_tpu.core import torch_init
+
+            new_params, new_bs = torch_init.init_cxrbert_from_torch(
+                state.params, state.batch_stats,
+                cfg.pre_trained_model_path)
+            state = state.replace(params=new_params, batch_stats=new_bs,
+                                  opt_state=tx.init(new_params))
+            logger.info("restored torch pretrain checkpoint %s",
+                        cfg.pre_trained_model_path)
+        else:
+            epoch = ckpt_lib.latest_epoch(cfg.pre_trained_model_path)
+            if epoch is None:
+                # fail loudly: a typo'd path silently pretraining from
+                # random init would misattribute the resulting run
+                raise FileNotFoundError(
+                    f"--pre_trained_model_path "
+                    f"{cfg.pre_trained_model_path}: not a torch checkpoint "
+                    "file and no orbax epoch found")
+            state = ckpt_lib.restore(cfg.pre_trained_model_path, epoch,
+                                     state)
             logger.info("restored checkpoint epoch %s", epoch)
     state = place_state(state)
     if mp > 1:

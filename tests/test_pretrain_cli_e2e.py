@@ -177,3 +177,61 @@ def test_pretrain_cli_short_epoch_multi_dispatch(tmp_path):
             for l in open(os.path.join(str(out), "metrics.jsonl"))]
     losses = [v for r in rows for k, v in r.items() if k == "avg_loss"]
     assert losses and all(np.isfinite(losses)), rows
+
+
+def test_pretrain_cli_weight_load_torch_pth(tmp_path):
+    """--weight_load with the published torch CXRBERT pretrain .pth: the
+    reference restarts pretraining via CXRBERT.from_pretrained
+    (main_origin.py:106-115); a bad path must fail loudly, not silently
+    train from random init."""
+    import jax
+    import pytest
+    import torch
+
+    from test_torch_full_ckpt import cxrbert_pretrain_sd
+    from medvill_tpu.cli import pretrain_main
+    from medvill_tpu.core import checkpoint as ckpt_lib
+    from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
+                                         PretrainConfig)
+    from medvill_tpu.train.pretrain import init_state
+
+    pcfg = PretrainConfig(
+        seq_len=7, bert=BertConfig.test_tiny(vocab_size=32),
+        image=ImageEncoderConfig(img_size=64, num_image_embeds=3,
+                                 encoder="full-fiber"),
+        batch_size=2, use_flash_attention=False)
+    _, src = init_state(pcfg, jax.random.PRNGKey(3))
+    pth = str(tmp_path / "pytorch_model.pth")
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in cxrbert_pretrain_sd(src).items()}, pth)
+
+    train, vocab = _write_dataset(tmp_path)
+    out = tmp_path / "out_torch_restart"
+    base = [
+        "--train_dataset", train, "--vocab_file", vocab,
+        "--bert_model", "test-tiny", "--vocab_size", "32",
+        "--epochs", "1", "--batch_size", "8", "--num_image_embeds", "3",
+        "--img_size", "64", "--seq_len", "7",
+        "--gradient_accumulation_steps", "1", "--num_workers", "0",
+        "--weight_load", "true",
+    ]
+    pretrain_main.train(pretrain_main.build_parser().parse_args(
+        base + ["--output_path", str(out),
+                "--pre_trained_model_path", pth]))
+    assert ckpt_lib.latest_epoch(str(out)) == 0
+    log = open(os.path.join(str(out), "train.log")).read()
+    assert "restored torch pretrain checkpoint" in log, log
+    # saved word embeddings start from the .pth values (one tiny epoch
+    # moves them negligibly vs a fresh random init)
+    saved = ckpt_lib.restore(str(out), 0, None)
+    got = np.asarray(saved["params"]["enc"]["embeddings"]
+                     ["word_embeddings"]["embedding"])
+    want = np.asarray(src.params["enc"]["embeddings"]
+                      ["word_embeddings"]["embedding"])
+    assert np.abs(got - want).max() < 1e-2
+
+    with pytest.raises(FileNotFoundError, match="no orbax epoch"):
+        pretrain_main.train(pretrain_main.build_parser().parse_args(
+            base + ["--output_path", str(tmp_path / "out_err"),
+                    "--pre_trained_model_path",
+                    str(tmp_path / "nonexistent_dir")]))

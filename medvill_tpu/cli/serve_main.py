@@ -149,14 +149,19 @@ def build_engine(args, logger):
         new_segment_ids=args.new_segment_ids,
         window_positions=_resolve_positions(args, ckpt_kind, logger))
 
+    # variables must be a jit ARGUMENT, not a closure capture: captured
+    # trees are baked into the HLO as constants (a ~440 MB program that the
+    # remote-tunnel compile service rejects with HTTP 413) and would
+    # re-trace on every weight refresh
+    variables = jax.device_put(variables)
     if args.beam_size > 1:
-        run_b = jax.jit(lambda im: beam_search(
-            model, variables, im, settings, v["[CLS]"], v["[SEP]"])[0])
-        run = lambda im: np.asarray(run_b(im))
+        run_b = jax.jit(lambda vs, im: beam_search(
+            model, vs, im, settings, v["[CLS]"], v["[SEP]"])[0])
+        run = lambda im: np.asarray(run_b(variables, im))
     else:
-        run_g = jax.jit(lambda im: greedy_decode(
-            model, variables, im, settings, v["[CLS]"], v["[SEP]"])[0])
-        run = lambda im: np.asarray(run_g(im))
+        run_g = jax.jit(lambda vs, im: greedy_decode(
+            model, vs, im, settings, v["[CLS]"], v["[SEP]"])[0])
+        run = lambda im: np.asarray(run_g(variables, im))
     return run, tokenizer
 
 
@@ -274,7 +279,7 @@ def _load(path_or_file, args) -> np.ndarray:
     file objects — PIL's Image.open accepts both)."""
     return image_lib.load_image(
         path_or_file, args.img_size, grayscale_to_rgb=True,
-        do_resize=(args.len_vis_input < 100)).astype(np.float32)
+        do_resize=(args.len_vis_input < 100))
 
 
 def make_server(args, logger):
@@ -285,8 +290,11 @@ def make_server(args, logger):
     if args.warmup:
         t0 = time.perf_counter()
         rng = np.random.default_rng(0)
-        _ = run(np.stack([image_lib.synthetic_image(rng, args.img_size)
-                          for _ in range(args.batch_size)]))
+        # uint8: the exact wire format _load produces, so this warmup
+        # compiles the same program the requests will hit
+        dummy = rng.integers(0, 255, (args.batch_size, args.img_size,
+                                      args.img_size, 3)).astype(np.uint8)
+        _ = run(dummy)
         logger.info("warmup compile+run: %.1fs", time.perf_counter() - t0)
     batcher = MicroBatcher(run, args.batch_size, args.max_wait_ms)
     server = ThreadingHTTPServer(

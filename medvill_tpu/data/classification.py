@@ -85,7 +85,7 @@ class ClassificationDataset:
     def _default_image_loader(self, img_path: Optional[str]) -> np.ndarray:
         if not img_path:
             gray = np.full((self.img_size, self.img_size, 3), 128, np.uint8)
-            return image_lib.normalize(image_lib.to_float(gray))
+            return gray  # uint8 wire format; device_normalize handles it
         return image_lib.load_image(
             os.path.join(self.data_dir, img_path), self.img_size,
             grayscale_to_rgb=self.openi, do_resize=False)
@@ -120,7 +120,7 @@ class ClassificationDataset:
             input_txt=np.array(ids, np.int32),
             txt_len=np.int32(txt_len),
             segment=np.array(segment, np.int32),
-            image=image.astype(np.float32),
+            image=image_lib.as_wire_image(image),
             label=label,
         )
 

@@ -31,11 +31,17 @@ def to_float(img: np.ndarray) -> np.ndarray:
 
 def load_image(path: str, size: int, channels: int = 3,
                grayscale_to_rgb: bool = False,
-               do_resize: bool = True) -> np.ndarray:
-    """Decode -> (optional grayscale->3ch) -> resize -> [0,1] -> normalize.
+               do_resize: bool = True,
+               keep_uint8: bool = True) -> np.ndarray:
+    """Decode -> (optional grayscale->3ch) -> resize.
 
-    Returns [size, size, 3] float32 NHWC (torch reference uses NCHW; our
-    models take NHWC, the TPU-native layout).
+    Returns [size, size, 3] uint8 NHWC by default — the raw-pixel wire
+    format: 4x less host->device traffic than normalized f32, with the
+    exact to_float + ImageNet normalize running on device instead
+    (``models/resnet.py::device_normalize``; bit-identical formula).  Pass
+    ``keep_uint8=False`` for the host-normalized f32 array (torch reference
+    semantics on the dataloader host; NCHW there, NHWC here — the
+    TPU-native layout).
     """
     from PIL import Image, ImageFile
 
@@ -47,11 +53,21 @@ def load_image(path: str, size: int, channels: int = 3,
         img = img.convert("RGB")
     if do_resize:
         img = img.resize((size, size), Image.BILINEAR)
-    arr = to_float(np.asarray(img))
-    return normalize(arr)
+    arr = np.asarray(img)
+    if keep_uint8:
+        return arr
+    return normalize(to_float(arr))
 
 
 def synthetic_image(rng: np.random.Generator, size: int,
                     channels: int = 3) -> np.ndarray:
     """Random normalized image for tests/benchmarks."""
     return rng.standard_normal((size, size, channels)).astype(np.float32)
+
+
+def as_wire_image(img: np.ndarray) -> np.ndarray:
+    """Coerce a loader output to the device wire format: uint8 passes
+    through raw (device-normalized later), anything else becomes float32
+    (assumed already normalized, e.g. custom/test loaders)."""
+    img = np.asarray(img)
+    return img if img.dtype == np.uint8 else img.astype(np.float32)

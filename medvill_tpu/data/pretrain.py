@@ -110,7 +110,7 @@ class CXRPretrainDataset:
             input_txt=np.array(input_ids, np.int32),
             txt_labels=np.array(txt_labels_full, np.int32),
             mask_spec=np.array([int(variant), txt_len], np.int32),
-            image=image.astype(np.float32),
+            image=image_lib.as_wire_image(image),
             segment=np.array(segment, np.int32),
             is_aligned=np.int32(is_aligned),
             sep_tok=np.array([self.vocab["[SEP]"]], np.int32),

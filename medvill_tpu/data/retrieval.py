@@ -73,7 +73,7 @@ class CXRRetrievalDataset:
             input_txt=np.array(ids, np.int32),
             attn_len=np.int32(attn_len),
             segment=np.ones(self.cfg.seq_len + 2, np.int32),
-            image=self.image_loader(img_path).astype(np.float32),
+            image=image_lib.as_wire_image(self.image_loader(img_path)),
         )
 
     def _process(self, txt: str, img_path: str) -> Dict[str, np.ndarray]:
@@ -91,7 +91,7 @@ class CXRRetrievalDataset:
             input_txt=np.array(ids, np.int32),
             mask_spec=np.array([int(MaskVariant.FULL), txt_len], np.int32),
             segment=np.ones(self.cfg.seq_len + 1, np.int32),
-            image=self.image_loader(img_path).astype(np.float32),
+            image=image_lib.as_wire_image(self.image_loader(img_path)),
             sep_tok=np.array([v["[SEP]"]], np.int32),
         )
 

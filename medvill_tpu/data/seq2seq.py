@@ -163,7 +163,7 @@ class Img2TxtDataset:
         proc = (rng or self.rng).choices(self.pipelines,
                                          weights=self.probs)[0]
         out = proc(tokens_b, rng=rng)
-        out["image"] = self.image_loader(rec["img"]).astype(np.float32)
+        out["image"] = image_lib.as_wire_image(self.image_loader(rec["img"]))
         return out
 
 
@@ -184,6 +184,6 @@ class Seq2seqDecodePreprocessor:
         del gt_ids[self.max_txt_length:]
         gt_ids += [0] * (self.max_txt_length - len(gt_ids))
         return dict(
-            image=image_loader(img_path).astype(np.float32),
+            image=image_lib.as_wire_image(image_loader(img_path)),
             gt_token=np.array(gt_ids, np.int32),
         )

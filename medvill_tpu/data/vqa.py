@@ -130,7 +130,7 @@ class VQADataset:
         proc = (rng or self.rng).choices(self.pipelines,
                                          weights=self.probs)[0]
         out = proc(q_tokens, rng=rng)
-        out["image"] = self.image_loader(e["image_name"]).astype(np.float32)
+        out["image"] = image_lib.as_wire_image(self.image_loader(e["image_name"]))
         out["ans_target"] = soft_target(e.get("answer"),
                                         self.cfg.vqa_num_answers)
         out["ans_type"] = np.int32(

@@ -41,6 +41,9 @@ class ImagePatchEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, img: jnp.ndarray) -> jnp.ndarray:
+        from medvill_tpu.models.resnet import device_normalize
+
+        img = device_normalize(img)  # uint8 wire format -> f32 normalized
         # img: [B, H, W, C] NHWC
         B, H, W, C = img.shape
         p = self.patch_size

@@ -102,6 +102,23 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual.astype(y.dtype))
 
 
+def device_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """Dtype-driven image normalization: the host ships raw uint8 pixels
+    (4x less host->device traffic and no per-pixel host float math vs the
+    normalized-f32 wire format; reference torchvision normalizes on the
+    dataloader host, data/helper.py:9-27), and the exact same transform —
+    to_float + ImageNet normalize (data/images.py:21-28) — runs here in f32,
+    where XLA fuses it into the stem conv's producer.  Float inputs pass
+    through untouched, so both wire formats stay supported."""
+    if x.dtype != jnp.uint8:
+        return x
+    from medvill_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
+
+    x = x.astype(jnp.float32) / 255.0
+    return (x - IMAGENET_MEAN.reshape(1, 1, 1, 3)) / \
+        IMAGENET_STD.reshape(1, 1, 1, 3)
+
+
 class ResNet50Trunk(nn.Module):
     """conv1..layer4 (no avgpool/fc), returns [B, M, M, 2048] fiber map.
 
@@ -118,6 +135,7 @@ class ResNet50Trunk(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = device_normalize(x)
         x = x.astype(self.dtype)
         x = StemConv(self.width, dtype=self.dtype, use_s2d=self.s2d_stem,
                      name="conv1")(x)

@@ -13,6 +13,10 @@ API:
   POST /generate           -> {"caption": ...}    (single image)
        body JSON: {"image_b64": <base64 bytes of any PIL-decodable image>}
                   or {"image_path": <server-local path>}
+  POST /reload             -> hot-swap the served weights without a
+       recompile (params are jit arguments, same shapes reuse the program)
+       body JSON: {"model_recover_path": <orbax dir or torch .bin>}
+       (omit to re-read the current path, e.g. a fresher epoch)
 
 Checkpoint recovery accepts the same forms as the decode CLI: an orbax run
 dir or a torch model.{epoch}.bin finetune checkpoint (with the reference's
@@ -83,7 +87,8 @@ def build_parser():
 
 def build_engine(args, logger):
     """Model + recovered variables + ONE jitted fixed-batch decode fn.
-    Returns (run(images[B,H,W,3]) -> ids[B,T], tokenizer)."""
+    Returns (run(images[B,H,W,3]) -> ids[B,T], tokenizer,
+    reload_weights(path) -> kind)."""
     import jax
     import jax.numpy as jnp
 
@@ -116,28 +121,29 @@ def build_engine(args, logger):
         jnp.zeros((2, 1, L, L)),
         masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
         deterministic=True)
-    variables = {"params": init_vars["params"],
+    init_tree = {"params": init_vars["params"],
                  "batch_stats": init_vars.get("batch_stats", {})}
 
-    path = args.model_recover_path
-    if os.path.isfile(path):
-        from medvill_tpu.core import torch_init
+    def recover(path):
+        """Checkpoint -> variables tree (torch .bin file or orbax dir)."""
+        if os.path.isfile(path):
+            from medvill_tpu.core import torch_init
 
-        new_params, new_bs = torch_init.init_vlp_from_torch(
-            variables["params"], variables["batch_stats"], path)
-        variables = {"params": new_params, "batch_stats": new_bs}
-        ckpt_kind = "torch"
-    else:
+            new_params, new_bs = torch_init.init_vlp_from_torch(
+                init_tree["params"], init_tree["batch_stats"], path)
+            return {"params": new_params, "batch_stats": new_bs}, "torch"
         epoch = ckpt_lib.latest_epoch(path)
         if epoch is None:
             raise FileNotFoundError(
-                f"--model_recover_path {path}: not a torch checkpoint file "
+                f"model_recover_path {path}: not a torch checkpoint file "
                 "and no orbax epoch found — refusing to serve random init")
-        restored = ckpt_lib.restore(path, epoch, variables, partial=True)
-        variables = {"params": restored["params"],
-                     "batch_stats": restored["batch_stats"]}
-        ckpt_kind = "orbax"
-    logger.info("recovered %s checkpoint %s", ckpt_kind, path)
+        restored = ckpt_lib.restore(path, epoch, init_tree, partial=True)
+        return {"params": restored["params"],
+                "batch_stats": restored["batch_stats"]}, "orbax"
+
+    variables, ckpt_kind = recover(args.model_recover_path)
+    logger.info("recovered %s checkpoint %s", ckpt_kind,
+                args.model_recover_path)
 
     v = tokenizer.vocab
     settings = DecodeSettings(
@@ -153,16 +159,28 @@ def build_engine(args, logger):
     # trees are baked into the HLO as constants (a ~440 MB program that the
     # remote-tunnel compile service rejects with HTTP 413) and would
     # re-trace on every weight refresh
-    variables = jax.device_put(variables)
+    live = {"variables": jax.device_put(variables)}
     if args.beam_size > 1:
         run_b = jax.jit(lambda vs, im: beam_search(
             model, vs, im, settings, v["[CLS]"], v["[SEP]"])[0])
-        run = lambda im: np.asarray(run_b(variables, im))
+        run = lambda im: np.asarray(run_b(live["variables"], im))
     else:
         run_g = jax.jit(lambda vs, im: greedy_decode(
             model, vs, im, settings, v["[CLS]"], v["[SEP]"])[0])
-        run = lambda im: np.asarray(run_g(variables, im))
-    return run, tokenizer
+        run = lambda im: np.asarray(run_g(live["variables"], im))
+
+    def reload_weights(path: str) -> str:
+        """Hot-swap the served weights (e.g. a fresher finetune epoch).
+        Same shapes -> the compiled program is reused as-is.  The dict-slot
+        assignment is atomic under the GIL and the single dispatcher thread
+        reads it once per micro-batch, so every batch runs against one
+        consistent tree (old or new, never a mix)."""
+        new_vars, kind = recover(path)
+        live["variables"] = jax.device_put(new_vars)
+        logger.info("reloaded %s checkpoint %s", kind, path)
+        return kind
+
+    return run, tokenizer, reload_weights
 
 
 class MicroBatcher:
@@ -218,7 +236,8 @@ class MicroBatcher:
                 slot["done"].set()
 
 
-def make_handler(batcher: MicroBatcher, tokenizer, args, logger):
+def make_handler(batcher: MicroBatcher, tokenizer, args, logger,
+                 reload_weights=None):
     from http.server import BaseHTTPRequestHandler
 
     class Handler(BaseHTTPRequestHandler):
@@ -245,6 +264,23 @@ def make_handler(batcher: MicroBatcher, tokenizer, args, logger):
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    path = req.get("model_recover_path",
+                                   args.model_recover_path)
+                    kind = reload_weights(path)
+                except FileNotFoundError as e:
+                    self._reply(404, {"error": str(e)})
+                    return
+                except Exception as e:
+                    self._reply(400, {"error": f"bad request: {e!r}"})
+                    return
+                args.model_recover_path = path  # /healthz reflects it
+                self._reply(200, {"status": "reloaded", "kind": kind,
+                                  "model_recover_path": path})
+                return
             if self.path != "/generate":
                 self._reply(404, {"error": "unknown path"})
                 return
@@ -286,7 +322,7 @@ def make_server(args, logger):
     """Build engine + micro-batcher + HTTP server (not yet serving)."""
     from http.server import ThreadingHTTPServer
 
-    run, tokenizer = build_engine(args, logger)
+    run, tokenizer, reload_weights = build_engine(args, logger)
     if args.warmup:
         t0 = time.perf_counter()
         rng = np.random.default_rng(0)
@@ -299,7 +335,7 @@ def make_server(args, logger):
     batcher = MicroBatcher(run, args.batch_size, args.max_wait_ms)
     server = ThreadingHTTPServer(
         (args.host, args.port),
-        make_handler(batcher, tokenizer, args, logger))
+        make_handler(batcher, tokenizer, args, logger, reload_weights))
     return server
 
 

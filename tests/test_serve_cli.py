@@ -82,9 +82,9 @@ def _png_b64(seed: int) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
-def _post(addr, payload: dict):
+def _post(addr, payload: dict, path: str = "/generate"):
     req = urllib.request.Request(
-        f"http://{addr[0]}:{addr[1]}/generate",
+        f"http://{addr[0]}:{addr[1]}{path}",
         data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"})
     with urllib.request.urlopen(req, timeout=120) as r:
@@ -127,3 +127,63 @@ def test_generate_bad_request(server_fixture):
     except urllib.error.HTTPError as e:
         status, body = e.code, json.loads(e.read())
     assert status == 400 and "error" in body
+
+
+def test_reload_hot_swaps_weights(server_fixture, tmp_path_factory):
+    """POST /reload swaps checkpoints without recompiling: captions for the
+    same image must change once different weights are live, and a bad path
+    must 404 while the old weights keep serving."""
+    import urllib.error
+
+    import jax
+    import jax.numpy as jnp
+
+    from medvill_tpu.core import checkpoint as ckpt_lib
+    from medvill_tpu.core.config import (BertConfig, FinetuneConfig,
+                                         ImageEncoderConfig)
+    from medvill_tpu.data.tokenization import build_vocab
+    from medvill_tpu.train import finetune as ft
+
+    addr = server_fixture
+    img = _png_b64(99)
+    status, before = _post(addr, {"image_b64": img})
+    assert status == 200
+
+    # a second checkpoint with different weights, same shapes
+    d = tmp_path_factory.mktemp("serve_reload")
+    vocab = build_vocab([f"word{i}" for i in range(40)])
+    cfg = FinetuneConfig(
+        bert=BertConfig.vlp(BertConfig.test_tiny(vocab_size=len(vocab))),
+        image=ImageEncoderConfig(img_size=IMG, num_image_embeds=VIS,
+                                 encoder="full-fiber"),
+        len_vis_input=VIS, max_seq_length=24, max_pred=3, img_size=IMG)
+    model = ft.build_model(cfg)
+    L = cfg.max_seq_length
+    variables = model.init(
+        {"params": jax.random.PRNGKey(41)},
+        jnp.zeros((2, IMG, IMG, 3)), jnp.zeros((2, L), jnp.int32),
+        jnp.zeros((2, L), jnp.int32), jnp.zeros((2, 1, L, L)),
+        masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
+        deterministic=True)
+    ckpt_lib.save(str(d / "model_b"), 0,
+                  {"params": variables["params"],
+                   "batch_stats": variables.get("batch_stats", {})})
+
+    status, body = _post(addr, {"model_recover_path": str(d / "model_b")},
+                         path="/reload")
+    assert status == 200 and body["status"] == "reloaded", body
+    status, after = _post(addr, {"image_b64": img})
+    assert status == 200
+    # different random init -> different captions for the same image
+    # (identical would mean the swap silently did not land)
+    assert after["caption"] != before["caption"], (before, after)
+
+    # bad reload path: 404, and the endpoint still serves
+    try:
+        status, body = _post(addr, {"model_recover_path": str(d / "nope")},
+                             path="/reload")
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status == 404 and "error" in body
+    status, again = _post(addr, {"image_b64": img})
+    assert status == 200 and again["caption"] == after["caption"]

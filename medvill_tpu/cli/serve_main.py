@@ -263,11 +263,18 @@ def make_handler(batcher: MicroBatcher, tokenizer, args, logger,
             else:
                 self._reply(404, {"error": "unknown path"})
 
+        MAX_BODY = 64 << 20  # one 512x512 PNG is ~0.5 MB; 64 MB is ample
+
+        def _body(self):
+            length = int(self.headers.get("Content-Length", 0))
+            if length > self.MAX_BODY:
+                raise ValueError(f"body {length} bytes > {self.MAX_BODY}")
+            return self.rfile.read(length) or b"{}"
+
         def do_POST(self):
             if self.path == "/reload":
                 try:
-                    length = int(self.headers.get("Content-Length", 0))
-                    req = json.loads(self.rfile.read(length) or b"{}")
+                    req = json.loads(self._body())
                     path = req.get("model_recover_path",
                                    args.model_recover_path)
                     kind = reload_weights(path)
@@ -285,8 +292,7 @@ def make_handler(batcher: MicroBatcher, tokenizer, args, logger,
                 self._reply(404, {"error": "unknown path"})
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
+                req = json.loads(self._body())
                 if "image_b64" in req:
                     raw = io.BytesIO(base64.b64decode(req["image_b64"]))
                     image = _load(raw, args)

@@ -129,6 +129,16 @@ def build_parser():
                    help="multinomial sampling instead of argmax in the "
                         "greedy loop (reference sample_mode='sample', "
                         "model.py:1209-1215)")
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="divide sampling logits before the draw (beyond "
+                        "parity; only with --do_sample)")
+    p.add_argument("--top_k", type=int, default=0,
+                   help="sample from the k highest-logit tokens only "
+                        "(0 = off; beyond parity, only with --do_sample)")
+    p.add_argument("--top_p", type=float, default=1.0,
+                   help="nucleus sampling: smallest token set with "
+                        "probability mass >= top_p (1.0 = off; beyond "
+                        "parity, only with --do_sample)")
     p.add_argument("--teacher_forcing", type=str2bool, default=False,
                    help="True reproduces the reference greedy loop's "
                         "gt-token feeding (model.py:1177-1189)")
@@ -206,12 +216,19 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
         forbid_ignore_ids=forbid_ignore_ids,
         sample_mode="sample" if getattr(args, "do_sample", False)
         else "greedy",
+        temperature=float(getattr(args, "temperature", 1.0) or 1.0),
+        top_k=int(getattr(args, "top_k", 0) or 0),
+        top_p=float(getattr(args, "top_p", 1.0) or 1.0),
         window_positions=_resolve_positions(args, ckpt_kind, logger))
     if settings.sample_mode == "sample" and args.beam_size > 1:
         # the reference samples only in its non-beam loop (model.py:1213);
         # fail loudly rather than silently doing deterministic beam search
         raise ValueError("--do_sample requires --beam_size 1 "
                          "(sampling is a greedy-loop mode, model.py:1213)")
+    if settings.sample_mode != "sample" and (
+            settings.temperature != 1.0 or settings.top_k
+            or settings.top_p < 1.0):
+        raise ValueError("--temperature/--top_k/--top_p require --do_sample")
 
     def image_loader(p):
         return image_lib.load_image(os.path.join(data_dir, p),

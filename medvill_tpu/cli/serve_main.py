@@ -28,6 +28,7 @@ import argparse
 import base64
 import dataclasses
 import io
+import itertools
 import json
 import os
 import queue
@@ -63,6 +64,17 @@ def build_parser():
                    help="micro-batching window: how long the dispatcher "
                         "waits to fill a batch after the first request")
     p.add_argument("--beam_size", type=int, default=1)
+    p.add_argument("--do_sample", type=str2bool, default=False,
+                   help="multinomial sampling instead of argmax (requires "
+                        "--beam_size 1); a fresh key is folded in per "
+                        "micro-batch so repeated requests vary")
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="sampling temperature (only with --do_sample)")
+    p.add_argument("--top_k", type=int, default=0,
+                   help="top-k sampling filter (0 = off; --do_sample only)")
+    p.add_argument("--top_p", type=float, default=1.0,
+                   help="nucleus sampling mass (1.0 = off; --do_sample "
+                        "only)")
     p.add_argument("--length_penalty", type=float, default=0.0)
     p.add_argument("--forbid_duplicate_ngrams", type=str2bool, default=False)
     p.add_argument("--ngram_size", type=int, default=3)
@@ -153,7 +165,18 @@ def build_engine(args, logger):
         forbid_duplicate_ngrams=args.forbid_duplicate_ngrams,
         ngram_size=args.ngram_size, min_len=args.min_len,
         new_segment_ids=args.new_segment_ids,
+        sample_mode="sample" if getattr(args, "do_sample", False)
+        else "greedy",
+        temperature=float(getattr(args, "temperature", 1.0) or 1.0),
+        top_k=int(getattr(args, "top_k", 0) or 0),
+        top_p=float(getattr(args, "top_p", 1.0) or 1.0),
         window_positions=_resolve_positions(args, ckpt_kind, logger))
+    if settings.sample_mode == "sample" and args.beam_size > 1:
+        raise ValueError("--do_sample requires --beam_size 1")
+    if settings.sample_mode != "sample" and (
+            settings.temperature != 1.0 or settings.top_k
+            or settings.top_p < 1.0):
+        raise ValueError("--temperature/--top_k/--top_p require --do_sample")
 
     # variables must be a jit ARGUMENT, not a closure capture: captured
     # trees are baked into the HLO as constants (a ~440 MB program that the
@@ -164,6 +187,17 @@ def build_engine(args, logger):
         run_b = jax.jit(lambda vs, im: beam_search(
             model, vs, im, settings, v["[CLS]"], v["[SEP]"])[0])
         run = lambda im: np.asarray(run_b(live["variables"], im))
+    elif settings.sample_mode == "sample":
+        # key is a jit ARGUMENT folded per micro-batch on the host, so the
+        # compiled program is reused while every batch draws fresh samples
+        run_s = jax.jit(lambda vs, im, key: greedy_decode(
+            model, vs, im, settings, v["[CLS]"], v["[SEP]"], rng=key)[0])
+        base_key = jax.random.PRNGKey(args.seed)
+        counter = itertools.count()
+
+        def run(im):
+            key = jax.random.fold_in(base_key, next(counter))
+            return np.asarray(run_s(live["variables"], im, key))
     else:
         run_g = jax.jit(lambda vs, im: greedy_decode(
             model, vs, im, settings, v["[CLS]"], v["[SEP]"])[0])

@@ -66,6 +66,16 @@ class DecodeSettings:
     # (reference: model.py:1205-1215 sample_mode); sampling needs an rng
     # passed to greedy_decode
     sample_mode: str = "greedy"
+    # Sampling controls (beyond parity — the reference's multinomial is
+    # plain softmax sampling; these defaults reproduce it exactly and the
+    # compiled graph is unchanged while they stay at the defaults):
+    #   temperature: divide logits before the draw (must be > 0)
+    #   top_k:       keep only the k highest-logit tokens (0 = off)
+    #   top_p:       nucleus sampling — keep the smallest set of tokens
+    #                whose probability mass reaches p (1.0 = off)
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
     # Position ids given to the 2-token (committed, probe) text window:
     #  'reference' (default): what the reference decoder EXECUTES — its
     #    CXRBertDecoder calls txt_embeddings WITHOUT position_ids
@@ -92,6 +102,41 @@ class DecodeSettings:
     @property
     def txt_type_id(self) -> int:
         return 5 if self.new_segment_ids else 1
+
+
+def filter_sample_logits(logits: jnp.ndarray, temperature: float = 1.0,
+                         top_k: int = 0, top_p: float = 1.0) -> jnp.ndarray:
+    """Temperature / top-k / nucleus (top-p) filtering of ``[..., V]``
+    logits before a categorical draw.  Defaults are the identity (the
+    reference's plain multinomial, model.py:1209-1215).  Static-shape: both
+    filters reduce to a per-row cutoff value and a ``where`` against it, so
+    nothing is dynamically sized under jit.
+
+    top_k keeps tokens whose logit >= the k-th largest (ties at the cutoff
+    all survive, the standard convention).  top_p keeps the smallest
+    descending-probability prefix whose mass reaches ``top_p`` — at least
+    one token always survives.  Filtered-out tokens get -inf so
+    ``jax.random.categorical`` never draws them."""
+    logits = logits.astype(jnp.float32)
+    if temperature != 1.0:
+        if temperature <= 0.0:
+            raise ValueError(f"temperature must be > 0, got {temperature}")
+        logits = logits / temperature
+    V = logits.shape[-1]
+    neg_inf = jnp.asarray(-jnp.inf, logits.dtype)
+    if top_k and 0 < top_k < V:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, neg_inf, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        # keep sorted token i while the mass BEFORE it is < top_p (the
+        # first token crossing the threshold is kept; ensures >= 1 kept)
+        keep = (jnp.cumsum(probs, axis=-1) - probs) < top_p
+        n_keep = jnp.sum(keep, axis=-1, keepdims=True)  # >= 1
+        cutoff = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
+        logits = jnp.where(logits < cutoff, neg_inf, logits)
+    return logits
 
 
 def _window_bias(vis: int, t, L: int, dtype=jnp.float32):
@@ -198,8 +243,15 @@ def greedy_decode(model: VLPForPreTraining, variables, image,
         logits = logits.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         if do_sample:
+            s_logits = logits
+            if (settings.temperature != 1.0 or settings.top_k > 0
+                    or settings.top_p < 1.0):
+                s_logits = filter_sample_logits(
+                    logits, settings.temperature, settings.top_k,
+                    settings.top_p)
             next_tok = jax.random.categorical(
-                jax.random.fold_in(rng, t), logits, axis=-1).astype(jnp.int32)
+                jax.random.fold_in(rng, t), s_logits,
+                axis=-1).astype(jnp.int32)
         else:
             next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         tok_logp = jnp.take_along_axis(logp, next_tok[:, None],

@@ -166,3 +166,34 @@ def test_sampling_decode(tiny_vlp):
     # rng is required in sampling mode
     with pytest.raises(ValueError):
         greedy_decode(model, variables, img, settings, 2, 3)
+
+
+def test_top_k1_sampling_matches_greedy(tiny_vlp):
+    """top_k=1 collapses the sampling distribution to the argmax, so the
+    sampled tokens must equal the greedy decode's (any rng)."""
+    cfg, model, variables, img = tiny_vlp
+    greedy = DecodeSettings(max_txt_length=T, mask_word_id=4, eos_id=-1)
+    topk1 = dataclasses.replace(greedy, sample_mode="sample", top_k=1)
+    ids_g, _, _ = jax.jit(lambda: greedy_decode(
+        model, variables, img, greedy, 2, 3))()
+    ids_s, _, _ = jax.jit(lambda r: greedy_decode(
+        model, variables, img, topk1, 2, 3, rng=r))(jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(ids_g), np.asarray(ids_s))
+
+
+def test_sampling_controls_still_deterministic_under_key(tiny_vlp):
+    """temperature/top_p filtering keeps the fixed-key determinism and
+    produces valid in-vocab tokens."""
+    cfg, model, variables, img = tiny_vlp
+    settings = DecodeSettings(max_txt_length=T, mask_word_id=4, eos_id=-1,
+                              sample_mode="sample", temperature=0.7,
+                              top_p=0.9)
+    run = jax.jit(lambda r: greedy_decode(
+        model, variables, img, settings, 2, 3, rng=r))
+    ids_a, logp_a, _ = run(jax.random.PRNGKey(0))
+    ids_a2, _, _ = run(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_a2))
+    ids = np.asarray(ids_a)
+    assert (0 <= ids).all() and (ids < cfg.bert.vocab_size).all()
+    lp = np.asarray(logp_a)
+    assert np.isfinite(lp).all() and (lp <= 0).all()

@@ -34,3 +34,33 @@ def parallelism_kwargs(args) -> dict:
     """kwargs for core.mesh.cli_mesh_and_place from parsed args."""
     return dict(model_parallel=max(1, getattr(args, "model_parallel", 1)),
                 zero1=getattr(args, "zero1", False))
+
+
+def sampling_kwargs(args, beam_size: int) -> dict:
+    """Validated DecodeSettings kwargs for the sampling flags shared by
+    decode_main and serve_main (--do_sample/--temperature/--top_k/--top_p).
+    Defined once so the two CLIs can't drift, and validated HERE so a bad
+    value fails at startup instead of at first jit trace (e.g. a sampling
+    server started with --warmup false would otherwise 500 on every
+    request).  Raises ValueError on out-of-range values and on sampling
+    knobs given without --do_sample."""
+    do_sample = bool(getattr(args, "do_sample", False))
+    temperature = float(getattr(args, "temperature", 1.0))
+    top_k = int(getattr(args, "top_k", 0))
+    top_p = float(getattr(args, "top_p", 1.0))
+    if do_sample and beam_size > 1:
+        # the reference samples only in its non-beam loop (model.py:1213);
+        # fail loudly rather than silently doing deterministic beam search
+        raise ValueError("--do_sample requires --beam_size 1 "
+                         "(sampling is a greedy-loop mode, model.py:1213)")
+    if not do_sample and (temperature != 1.0 or top_k != 0 or top_p != 1.0):
+        raise ValueError(
+            "--temperature/--top_k/--top_p require --do_sample")
+    if temperature <= 0.0:
+        raise ValueError(f"--temperature must be > 0, got {temperature}")
+    if top_k < 0:
+        raise ValueError(f"--top_k must be >= 0, got {top_k}")
+    if not 0.0 < top_p <= 1.0:
+        raise ValueError(f"--top_p must be in (0, 1], got {top_p}")
+    return dict(sample_mode="sample" if do_sample else "greedy",
+                temperature=temperature, top_k=top_k, top_p=top_p)

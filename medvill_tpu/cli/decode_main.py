@@ -54,7 +54,7 @@ from medvill_tpu.utils.logging import MetricLogger, create_logger
 from medvill_tpu.utils.seed import set_seed
 
 
-from medvill_tpu.cli import str2bool  # noqa: E402
+from medvill_tpu.cli import sampling_kwargs, str2bool  # noqa: E402
 
 
 def build_parser():
@@ -214,21 +214,8 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
         ngram_size=args.ngram_size, new_segment_ids=args.new_segment_ids,
         min_len=int(getattr(args, "min_len", 0) or 0),
         forbid_ignore_ids=forbid_ignore_ids,
-        sample_mode="sample" if getattr(args, "do_sample", False)
-        else "greedy",
-        temperature=float(getattr(args, "temperature", 1.0) or 1.0),
-        top_k=int(getattr(args, "top_k", 0) or 0),
-        top_p=float(getattr(args, "top_p", 1.0) or 1.0),
-        window_positions=_resolve_positions(args, ckpt_kind, logger))
-    if settings.sample_mode == "sample" and args.beam_size > 1:
-        # the reference samples only in its non-beam loop (model.py:1213);
-        # fail loudly rather than silently doing deterministic beam search
-        raise ValueError("--do_sample requires --beam_size 1 "
-                         "(sampling is a greedy-loop mode, model.py:1213)")
-    if settings.sample_mode != "sample" and (
-            settings.temperature != 1.0 or settings.top_k
-            or settings.top_p < 1.0):
-        raise ValueError("--temperature/--top_k/--top_p require --do_sample")
+        window_positions=_resolve_positions(args, ckpt_kind, logger),
+        **sampling_kwargs(args, args.beam_size))
 
     def image_loader(p):
         return image_lib.load_image(os.path.join(data_dir, p),

@@ -37,7 +37,7 @@ import time
 
 import numpy as np
 
-from medvill_tpu.cli import str2bool
+from medvill_tpu.cli import sampling_kwargs, str2bool
 from medvill_tpu.core import checkpoint as ckpt_lib
 from medvill_tpu.core.config import (BertConfig, FinetuneConfig,
                                      ImageEncoderConfig)
@@ -165,18 +165,8 @@ def build_engine(args, logger):
         forbid_duplicate_ngrams=args.forbid_duplicate_ngrams,
         ngram_size=args.ngram_size, min_len=args.min_len,
         new_segment_ids=args.new_segment_ids,
-        sample_mode="sample" if getattr(args, "do_sample", False)
-        else "greedy",
-        temperature=float(getattr(args, "temperature", 1.0) or 1.0),
-        top_k=int(getattr(args, "top_k", 0) or 0),
-        top_p=float(getattr(args, "top_p", 1.0) or 1.0),
-        window_positions=_resolve_positions(args, ckpt_kind, logger))
-    if settings.sample_mode == "sample" and args.beam_size > 1:
-        raise ValueError("--do_sample requires --beam_size 1")
-    if settings.sample_mode != "sample" and (
-            settings.temperature != 1.0 or settings.top_k
-            or settings.top_p < 1.0):
-        raise ValueError("--temperature/--top_k/--top_p require --do_sample")
+        window_positions=_resolve_positions(args, ckpt_kind, logger),
+        **sampling_kwargs(args, args.beam_size))
 
     # variables must be a jit ARGUMENT, not a closure capture: captured
     # trees are baked into the HLO as constants (a ~440 MB program that the

@@ -117,10 +117,14 @@ def filter_sample_logits(logits: jnp.ndarray, temperature: float = 1.0,
     descending-probability prefix whose mass reaches ``top_p`` — at least
     one token always survives.  Filtered-out tokens get -inf so
     ``jax.random.categorical`` never draws them."""
+    if temperature <= 0.0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if top_k < 0:
+        raise ValueError(f"top_k must be >= 0, got {top_k}")
+    if not 0.0 < top_p <= 1.0:
+        raise ValueError(f"top_p must be in (0, 1], got {top_p}")
     logits = logits.astype(jnp.float32)
     if temperature != 1.0:
-        if temperature <= 0.0:
-            raise ValueError(f"temperature must be > 0, got {temperature}")
         logits = logits / temperature
     V = logits.shape[-1]
     neg_inf = jnp.asarray(-jnp.inf, logits.dtype)

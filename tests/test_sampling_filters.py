@@ -89,3 +89,46 @@ def test_filters_compose_temperature_then_topk():
     out = np.asarray(filter_sample_logits(logits, temperature=2.0, top_k=1))
     np.testing.assert_allclose(out[0, 0], 1.0)
     assert np.all(np.isneginf(out[0, 1:]))
+
+
+def test_filter_rejects_out_of_range():
+    z = jnp.zeros((1, 4))
+    with pytest.raises(ValueError):
+        filter_sample_logits(z, top_k=-1)
+    with pytest.raises(ValueError):
+        filter_sample_logits(z, top_p=0.0)
+    with pytest.raises(ValueError):
+        filter_sample_logits(z, top_p=-0.5)
+    with pytest.raises(ValueError):
+        filter_sample_logits(z, top_p=1.5)
+
+
+def test_sampling_kwargs_helper_validation():
+    """The shared CLI helper (decode_main + serve_main) validates at
+    startup: bad ranges, knobs without --do_sample, sampling with beam."""
+    import argparse
+
+    from medvill_tpu.cli import sampling_kwargs
+
+    def ns(**kw):
+        d = dict(do_sample=False, temperature=1.0, top_k=0, top_p=1.0)
+        d.update(kw)
+        return argparse.Namespace(**d)
+
+    assert sampling_kwargs(ns(), 1)["sample_mode"] == "greedy"
+    got = sampling_kwargs(ns(do_sample=True, temperature=0.7, top_k=40,
+                             top_p=0.9), 1)
+    assert got == dict(sample_mode="sample", temperature=0.7, top_k=40,
+                       top_p=0.9)
+    with pytest.raises(ValueError):  # sampling is a greedy-loop mode
+        sampling_kwargs(ns(do_sample=True), 4)
+    with pytest.raises(ValueError):  # knobs require --do_sample
+        sampling_kwargs(ns(temperature=0.5), 1)
+    with pytest.raises(ValueError):  # knobs require --do_sample (top_p)
+        sampling_kwargs(ns(top_p=0.5), 1)
+    with pytest.raises(ValueError):  # temperature 0 is invalid, not 'off'
+        sampling_kwargs(ns(do_sample=True, temperature=0.0), 1)
+    with pytest.raises(ValueError):  # negative top_k is invalid, not inert
+        sampling_kwargs(ns(do_sample=True, top_k=-5), 1)
+    with pytest.raises(ValueError):  # top_p 0 is invalid, not 'argmax'
+        sampling_kwargs(ns(do_sample=True, top_p=0.0), 1)

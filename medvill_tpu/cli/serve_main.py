@@ -217,15 +217,30 @@ class MicroBatcher:
         self._B = batch_size
         self._wait_s = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
+        # operational counters exposed at GET /metrics (Prometheus text
+        # exposition); incremented under the lock from handler threads and
+        # the dispatcher thread
+        self.stats = {"requests_total": 0, "errors_total": 0,
+                      "batches_total": 0, "padded_rows_total": 0,
+                      "decode_seconds_total": 0.0,
+                      "request_latency_seconds_total": 0.0}
+        self._stats_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, image: np.ndarray) -> str:
         """Blocks until the caption for `image` [H, W, 3] is ready."""
+        t0 = time.monotonic()
         done = threading.Event()
         slot = {"done": done}
         self._q.put((image, slot))
         done.wait()
+        with self._stats_lock:
+            self.stats["requests_total"] += 1
+            self.stats["request_latency_seconds_total"] += (
+                time.monotonic() - t0)
+            if "error" in slot:
+                self.stats["errors_total"] += 1
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["ids"]
@@ -246,6 +261,7 @@ class MicroBatcher:
             n_real = len(images)
             if n_real < self._B:
                 images = images + [images[-1]] * (self._B - n_real)
+            t0 = time.monotonic()
             try:
                 import jax.numpy as jnp
 
@@ -255,6 +271,12 @@ class MicroBatcher:
                     slot["error"] = repr(e)
                     slot["done"].set()
                 continue
+            finally:
+                with self._stats_lock:
+                    self.stats["batches_total"] += 1
+                    self.stats["padded_rows_total"] += self._B - n_real
+                    self.stats["decode_seconds_total"] += (
+                        time.monotonic() - t0)
             for i, (_, slot) in enumerate(items):
                 slot["ids"] = ids[i]
                 slot["done"].set()
@@ -284,6 +306,23 @@ def make_handler(batcher: MicroBatcher, tokenizer, args, logger,
                     "batch_size": args.batch_size,
                     "beam_size": args.beam_size,
                     "max_txt_length": args.max_txt_length})
+            elif self.path == "/metrics":
+                # Prometheus text exposition (no client lib in the image);
+                # counters only — the scraper derives rates/averages
+                with batcher._stats_lock:
+                    stats = dict(batcher.stats)
+                lines = ["# TYPE medvill_serve_compiled_batch_size gauge",
+                         f"medvill_serve_compiled_batch_size {batcher._B}"]
+                for k, v in sorted(stats.items()):
+                    lines.append(f"# TYPE medvill_serve_{k} counter")
+                    lines.append(f"medvill_serve_{k} {v}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._reply(404, {"error": "unknown path"})
 

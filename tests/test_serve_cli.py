@@ -187,3 +187,29 @@ def test_reload_hot_swaps_weights(server_fixture, tmp_path_factory):
     assert status == 404 and "error" in body
     status, again = _post(addr, {"image_b64": img})
     assert status == 200 and again["caption"] == after["caption"]
+
+
+def test_metrics_endpoint(server_fixture):
+    """GET /metrics: Prometheus text exposition with live counters.  Runs
+    after the generate tests in this module, so requests/batches are > 0
+    and the padded short batch from the 3-concurrent test is recorded."""
+    _post(server_fixture, {"image_b64": _png_b64(7)})  # ensure >= 1 request
+    with urllib.request.urlopen(
+            f"http://{server_fixture[0]}:{server_fixture[1]}/metrics",
+            timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    metrics = {}
+    for line in text.splitlines():
+        if line and not line.startswith("#"):
+            name, val = line.rsplit(" ", 1)
+            metrics[name] = float(val)
+    assert metrics["medvill_serve_compiled_batch_size"] == 2
+    assert metrics["medvill_serve_requests_total"] >= 1
+    assert metrics["medvill_serve_batches_total"] >= 1
+    assert metrics["medvill_serve_decode_seconds_total"] > 0
+    assert metrics["medvill_serve_request_latency_seconds_total"] > 0
+    assert metrics["medvill_serve_padded_rows_total"] >= 0
+    # TYPE comments present for every series
+    assert "# TYPE medvill_serve_requests_total counter" in text

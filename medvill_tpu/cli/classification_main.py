@@ -24,6 +24,7 @@ from medvill_tpu.train import classify
 from medvill_tpu.train.pretrain import TrainState
 from medvill_tpu.utils.logging import (MetricLogger, create_logger,
                                         drain_metrics)
+from medvill_tpu.utils import preempt
 from medvill_tpu.utils.seed import set_seed, use_hardware_prng
 
 
@@ -249,7 +250,9 @@ def train(args) -> None:
     sched = classify.PlateauScheduler(cfg.lr_factor, cfg.lr_patience)
     best_metric, n_no_improve = -np.inf, 0
     lr_scale = 1.0
-    for epoch in range(cfg.max_epochs):
+    guard = preempt.PreemptionGuard(logger=logger)
+    with guard:
+      for epoch in range(cfg.max_epochs):
         losses = []
         # prefetch + device placement overlap the running step (same
         # pipeline as the pretrain/finetune CLIs)
@@ -260,6 +263,17 @@ def train(args) -> None:
                                      jnp.asarray(lr_scale))
             # device value — float() here would host-sync every step
             losses.append(loss)
+            if guard.triggered:
+                # graceful preemption: keep the work (classification runs
+                # are short + early-stopped, so resume is save-only — no
+                # mid-epoch position marker like pretrain/finetune)
+                jax.block_until_ready(loss)
+                if ckpt_lib.is_saving_process(state):
+                    ckpt_lib.save(savedir, epoch, state, config=vars(args))
+                logger.info("preempted (signal %s): saved epoch %d to %s",
+                            guard.signum, epoch, savedir)
+                metrics_log.finish()
+                return
         metrics, _, _ = classify.evaluate(eval_step, state, valid_loader,
                                           task_type=cfg.task_type)
         metrics["train_loss"] = float(np.mean(drain_metrics(losses)))

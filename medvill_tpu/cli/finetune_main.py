@@ -25,6 +25,7 @@ from medvill_tpu.train import optim
 from medvill_tpu.train.pretrain import TrainState
 from medvill_tpu.utils.logging import (MetricLogger, create_logger,
                                         drain_metrics)
+from medvill_tpu.utils import preempt
 from medvill_tpu.utils.seed import set_seed, use_hardware_prng
 
 
@@ -273,11 +274,23 @@ def main(args) -> None:
 
     # resume-by-scan (reference: finetune.py:37-47,396-405)
     start_epoch = 0
+    skip_batches = 0
     recover = ckpt_lib.latest_epoch(cfg.output_dir)
     if recover is not None:
         state = ckpt_lib.restore(cfg.output_dir, recover, state)
         start_epoch = recover + 1
         logger.info("resumed from epoch %d", recover)
+        # a preemption marker (utils/preempt.py) means epoch `recover` was
+        # interrupted mid-epoch: re-enter it and skip the trained batches
+        # instead of skipping to recover + 1
+        _marker = preempt.read_marker(cfg.output_dir)
+        if _marker is not None:
+            if _marker["epoch"] == recover and _marker["batches_done"]:
+                start_epoch = recover
+                skip_batches = int(_marker["batches_done"])
+                logger.info("preemption marker: re-entering epoch %d at "
+                            "host batch %d", recover, skip_batches)
+            preempt.clear_marker(cfg.output_dir)
     elif cfg.model_recover_path:
         if os.path.isfile(cfg.model_recover_path):
             # torch pretrain checkpoint (the published MedViLL .pth) —
@@ -338,8 +351,17 @@ def main(args) -> None:
 
     epochs = range(start_epoch, cfg.epochs) if getattr(
         args, "do_train", True) else ()
-    for epoch in epochs:
+    if skip_batches >= len(loader):
+        epochs = range(start_epoch + 1, cfg.epochs) if epochs else ()
+        skip_batches = 0
+    loader.epoch = start_epoch
+    if skip_batches:
+        loader.skip_next(skip_batches)
+    guard = preempt.PreemptionGuard(logger=logger)
+    with guard:
+      for epoch in epochs:
         agg = {}
+        batches_done = skip_batches if epoch == start_epoch else 0
         # prefetch + device placement overlap the running step (same
         # pipeline as the pretrain CLI)
         prefetched = dispatch_loader(filtered(loader), mesh, k_disp)
@@ -351,6 +373,23 @@ def main(args) -> None:
             # step and serialize the pipeline on dispatch latency
             for k, v in m.items():
                 agg.setdefault(k, []).append(v)
+            batches_done += k_disp if is_group else 1
+            if guard.triggered:
+                # graceful preemption: checkpoint post-step state + the
+                # host-batch position; the resume-by-scan above re-enters
+                # this epoch at this exact batch on relaunch
+                jax.block_until_ready(m[next(iter(m))])
+                if ckpt_lib.is_saving_process(state):
+                    ckpt_lib.save(cfg.output_dir, epoch, state,
+                                  config=vars(args))
+                    preempt.write_marker(cfg.output_dir, epoch,
+                                         batches_done)
+                logger.info("preempted (signal %s): saved epoch %d at "
+                            "host batch %d to %s; relaunch to resume",
+                            guard.signum, epoch, batches_done,
+                            cfg.output_dir)
+                metrics_log.finish()
+                return
         row = {k: float(np.mean(drain_metrics(v)))
                for k, v in agg.items()}
         metrics_log.log(row, step=epoch)

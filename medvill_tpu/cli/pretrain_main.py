@@ -30,6 +30,7 @@ from medvill_tpu.train.pretrain import (init_state, make_eval_step,
                                         make_train_step)
 from medvill_tpu.utils.logging import (MetricLogger, create_logger,
                                         drain_metrics)
+from medvill_tpu.utils import preempt
 from medvill_tpu.utils.seed import set_seed, use_hardware_prng
 
 
@@ -277,6 +278,22 @@ def train(args) -> None:
             state = ckpt_lib.restore(cfg.pre_trained_model_path, epoch,
                                      state)
             logger.info("restored checkpoint epoch %s", epoch)
+    # preemption resume: a SIGTERM'd run (utils/preempt.py) leaves a marker
+    # pointing at its mid-epoch checkpoint in output_path; consume it,
+    # restore, and skip the already-trained host batches of that epoch.
+    # Takes precedence over --pre_trained_model_path: the preempted run
+    # already folded any pretrained init into its checkpoint.
+    start_epoch = 0
+    skip_batches = 0
+    _marker = preempt.read_marker(cfg.output_path)
+    if _marker is not None:
+        state = ckpt_lib.restore(cfg.output_path, _marker["epoch"], state)
+        start_epoch = int(_marker["epoch"])
+        skip_batches = int(_marker["batches_done"])
+        preempt.clear_marker(cfg.output_path)
+        logger.info(
+            "resuming preempted run from %s: epoch %d, %d host batches "
+            "already trained", cfg.output_path, start_epoch, skip_batches)
     state = place_state(state)
     if mp > 1:
         logger.info("tensor-parallel degree %d over a %s mesh", mp,
@@ -297,9 +314,21 @@ def train(args) -> None:
 
     single_step = None  # compiled lazily, only if an epoch tail occurs
 
-    for epoch in range(cfg.epochs):
+    if skip_batches >= len(train_loader):
+        # preempted exactly at an epoch boundary (or the marker covers the
+        # whole epoch): nothing left to skip, continue at the next epoch
+        start_epoch += 1
+        skip_batches = 0
+    train_loader.epoch = start_epoch
+    if skip_batches:
+        train_loader.skip_next(skip_batches)
+
+    guard = preempt.PreemptionGuard(logger=logger)
+    with guard:
+      for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         agg = {}
+        batches_done = skip_batches if epoch == start_epoch else 0
         prefetched = dispatch_loader(train_loader, mesh, k_disp)
         profiling = (args.profile_dir and epoch == 0)
         for i, (batch, is_group) in enumerate(prefetched):
@@ -315,6 +344,24 @@ def train(args) -> None:
             else:
                 step_fn = train_step
             state, m = step_fn(state, batch, rng)
+            batches_done += k_disp if is_group else 1
+            if guard.triggered:
+                # graceful preemption: checkpoint the post-step state,
+                # record the host-batch position, exit 0.  A relaunch of
+                # the same command resumes here (bit-exact with workers>1
+                # derived-RNG loading; see utils/preempt.py)
+                jax.block_until_ready(m["loss"])
+                if ckpt_lib.is_saving_process(state):
+                    ckpt_lib.save(cfg.output_path, epoch, state,
+                                  config=vars(args))
+                    preempt.write_marker(cfg.output_path, epoch,
+                                         batches_done)
+                logger.info(
+                    "preempted (signal %s): saved epoch %d at host batch "
+                    "%d to %s; relaunch to resume", guard.signum, epoch,
+                    batches_done, cfg.output_path)
+                metrics_log.finish()
+                return
             if profiling and i == 4:
                 jax.block_until_ready(m["loss"])
                 jax.profiler.stop_trace()
@@ -358,6 +405,18 @@ def train(args) -> None:
         # processes (--zero1 multi-host: orbax writes per-host shards)
         if ckpt_lib.is_saving_process(state):
             ckpt_lib.save(cfg.output_path, epoch, state, config=vars(args))
+        if guard.triggered and epoch + 1 < cfg.epochs:
+            # preempted during eval/checkpoint: the epoch checkpoint is
+            # already complete — mark the whole epoch done so a relaunch
+            # continues at epoch + 1
+            if ckpt_lib.is_saving_process(state):
+                preempt.write_marker(cfg.output_path, epoch,
+                                     len(train_loader))
+            logger.info("preempted (signal %s) at epoch %d boundary; "
+                        "relaunch to resume at epoch %d", guard.signum,
+                        epoch, epoch + 1)
+            metrics_log.finish()
+            return
     metrics_log.finish()
 
 

@@ -174,6 +174,19 @@ class BatchLoader:
         # sequential stream — the mode the RNG-parity tests pin down.
         self.workers = workers
         self._pool = None
+        self._skip = 0
+
+    def skip_next(self, n_batches: int) -> None:
+        """Skip the first ``n_batches`` of the NEXT iteration only —
+        mid-epoch resume after preemption (utils/preempt.py).  The shuffle
+        order is a pure function of (seed, epoch), so the remaining batches
+        are identical to an uninterrupted epoch's tail; with ``workers>1``
+        over a ``fetch(idx, rng)`` dataset the sample contents are too
+        (per-sample RNG derives from (seed, epoch, idx)).  With
+        ``workers=1`` the dataset's shared sequential RNG stream is NOT
+        replayed for the skipped batches, so resume is valid but not
+        bit-identical to the uninterrupted run."""
+        self._skip = int(n_batches)
 
     def __len__(self) -> int:
         if self.drop_last:
@@ -211,7 +224,8 @@ class BatchLoader:
         if self.num_shards > 1:
             order = order[self.shard_index::self.num_shards]
         B = self.batch_size
-        for i in range(len(self)):
+        start, self._skip = self._skip, 0
+        for i in range(start, len(self)):
             idxs = order[i * B:(i + 1) * B]
             yield collate(self._fetch(idxs))
 

@@ -21,6 +21,7 @@ from medvill_tpu.train import optim, retrieve
 from medvill_tpu.train.pretrain import TrainState
 from medvill_tpu.utils.logging import (MetricLogger, create_logger,
                                         drain_metrics)
+from medvill_tpu.utils import preempt
 from medvill_tpu.utils.seed import set_seed, use_hardware_prng
 
 
@@ -238,7 +239,9 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
                                       shuffle=False, workers=workers,
                                       drop_last=False)
             score_step = jax.jit(make_score(model, cfg))
-        for epoch in range(cfg.epochs):
+        guard = preempt.PreemptionGuard(logger=logger)
+        with guard:
+          for epoch in range(cfg.epochs):
             losses, accs = [], []
             for batch, is_group in dispatch_loader(pair_iter(epoch), mesh,
                                                    k_disp):
@@ -247,6 +250,17 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
                 # device values — float() here would host-sync every step
                 losses.append(m["loss"])
                 accs.append(m["acc"])
+                if guard.triggered:
+                    # graceful preemption: keep the work (save-only, like
+                    # classification — retrieval pairs are resampled per
+                    # epoch so there is no replayable mid-epoch position)
+                    jax.block_until_ready(m["loss"])
+                    if ckpt_lib.is_saving_process(state):
+                        ckpt_lib.save(cfg.output_path, epoch, state,
+                                      config=vars(args))
+                    logger.info("preempted (signal %s): saved epoch %d to "
+                                "%s", guard.signum, epoch, cfg.output_path)
+                    return
             row = {"train_loss": float(np.mean(drain_metrics(losses))),
                    "train_acc": float(np.mean(drain_metrics(accs)))}
             metrics_log.log(row, step=epoch)

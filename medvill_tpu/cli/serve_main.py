@@ -32,6 +32,7 @@ import itertools
 import json
 import os
 import queue
+import signal
 import threading
 import time
 
@@ -207,6 +208,10 @@ def build_engine(args, logger):
     return run, tokenizer, reload_weights
 
 
+class ServerClosing(Exception):
+    """Raised by submit() after close(): request arrived during drain."""
+
+
 class MicroBatcher:
     """Single dispatcher thread: collects requests for up to max_wait_ms
     (or until the compiled batch fills), pads short batches by repeating
@@ -225,11 +230,45 @@ class MicroBatcher:
                       "decode_seconds_total": 0.0,
                       "request_latency_seconds_total": 0.0}
         self._stats_lock = threading.Lock()
+        self._closing = False
+        self._busy = False
+        # HTTP handler threads currently between accept and response —
+        # includes requests still parsing/decoding that have not reached
+        # submit() yet; drain() must wait for these too or the process
+        # exit would reset their connections (handler threads are daemon)
+        self._http_inflight = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    def enter_http(self) -> None:
+        with self._stats_lock:
+            self._http_inflight += 1
+
+    def exit_http(self) -> None:
+        with self._stats_lock:
+            self._http_inflight -= 1
+
+    def close(self) -> None:
+        """Stop accepting new requests (graceful shutdown, SIGTERM)."""
+        self._closing = True
+
+    def drain(self, timeout: float = 30.0) -> bool:
+        """Wait until every already-accepted request has been answered
+        (batcher queue empty, no decode in flight, no HTTP handler mid-
+        request).  Call close() first; returns False on timeout."""
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            with self._stats_lock:
+                http_idle = self._http_inflight == 0
+            if self._q.empty() and not self._busy and http_idle:
+                return True
+            time.sleep(0.05)
+        return False
+
     def submit(self, image: np.ndarray) -> str:
         """Blocks until the caption for `image` [H, W, 3] is ready."""
+        if self._closing:
+            raise ServerClosing("server is shutting down")
         t0 = time.monotonic()
         done = threading.Event()
         slot = {"done": done}
@@ -248,6 +287,7 @@ class MicroBatcher:
     def _loop(self):
         while True:
             items = [self._q.get()]
+            self._busy = True
             deadline = time.monotonic() + self._wait_s
             while len(items) < self._B:
                 remaining = deadline - time.monotonic()
@@ -270,6 +310,7 @@ class MicroBatcher:
                 for _, slot in items:
                     slot["error"] = repr(e)
                     slot["done"].set()
+                self._busy = False
                 continue
             finally:
                 with self._stats_lock:
@@ -280,6 +321,7 @@ class MicroBatcher:
             for i, (_, slot) in enumerate(items):
                 slot["ids"] = ids[i]
                 slot["done"].set()
+            self._busy = False
 
 
 def make_handler(batcher: MicroBatcher, tokenizer, args, logger,
@@ -299,6 +341,20 @@ def make_handler(batcher: MicroBatcher, tokenizer, args, logger,
             logger.info("%s " + fmt, self.address_string(), *a)
 
         def do_GET(self):
+            batcher.enter_http()
+            try:
+                self._do_get()
+            finally:
+                batcher.exit_http()
+
+        def do_POST(self):
+            batcher.enter_http()
+            try:
+                self._do_post()
+            finally:
+                batcher.exit_http()
+
+        def _do_get(self):
             if self.path == "/healthz":
                 self._reply(200, {
                     "status": "ok",
@@ -334,7 +390,7 @@ def make_handler(batcher: MicroBatcher, tokenizer, args, logger,
                 raise ValueError(f"body {length} bytes > {self.MAX_BODY}")
             return self.rfile.read(length) or b"{}"
 
-        def do_POST(self):
+        def _do_post(self):
             if self.path == "/reload":
                 try:
                     req = json.loads(self._body())
@@ -370,6 +426,9 @@ def make_handler(batcher: MicroBatcher, tokenizer, args, logger,
                 return
             try:
                 ids = batcher.submit(image)
+            except ServerClosing as e:
+                self._reply(503, {"error": str(e)})
+                return
             except RuntimeError as e:
                 self._reply(500, {"error": str(e)})
                 return
@@ -405,18 +464,43 @@ def make_server(args, logger):
     server = ThreadingHTTPServer(
         (args.host, args.port),
         make_handler(batcher, tokenizer, args, logger, reload_weights))
+    server.batcher = batcher  # for graceful drain (main) and tests
     return server
+
+
+def install_graceful_shutdown(server, logger,
+                              signals=(signal.SIGTERM,)) -> None:
+    """SIGTERM: stop accepting (new submits get 503), let the serve loop
+    exit, then main() drains already-accepted requests before exiting —
+    the serving half of the trainer-side preemption story
+    (utils/preempt.py)."""
+
+    def handler(signum, frame):
+        logger.info("signal %d: draining in-flight requests, then "
+                    "shutting down", signum)
+        server.batcher.close()
+        # shutdown() must not run on the thread inside serve_forever()
+        # (it joins the serve loop) — and the signal handler runs there
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    for s in signals:
+        signal.signal(s, handler)
 
 
 def main(args):
     logger = create_logger(None, args)
     server = make_server(args, logger)
+    install_graceful_shutdown(server, logger)
     logger.info("serving on http://%s:%d (batch %d, wait %dms)",
                 *server.server_address, args.batch_size, args.max_wait_ms)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+    if server.batcher.drain(timeout=30.0):
+        logger.info("drained; exiting 0")
+    else:
+        logger.warning("drain timed out with requests still queued")
 
 
 if __name__ == "__main__":

@@ -274,3 +274,41 @@ def test_classification_preempt_saves(tmp_path):
     assert ckpt_lib.latest_epoch(run_dir) == 0
     log = open(os.path.join(run_dir, "logfile.log")).read()
     assert "preempted" in log, log
+
+
+@pytest.mark.slow
+def test_retrieval_preempt_saves(tmp_path):
+    """Retrieval: preemption saves the current state and exits 0 (save-only
+    — pairs are resampled per epoch, so no replayable mid-epoch position)."""
+    from test_clf_retrieval_cli_e2e import WORDS, _images, _vocab
+    from medvill_tpu.cli import retrieval_main
+    from medvill_tpu.core import checkpoint as ckpt_lib
+
+    rng = np.random.default_rng(4)
+    paths = _images(tmp_path, 8)
+    train = tmp_path / "ret_train.jsonl"
+    with open(train, "w") as f:
+        for i, p in enumerate(paths):
+            f.write(json.dumps({
+                "id": f"t{i}", "split": "train",
+                "label": "'Normal'" if i % 2 else "'Edema'",
+                "text": " ".join(rng.choice(WORDS, 5).tolist()),
+                "img": p}) + "\n")
+    out = tmp_path / "out_ret_pre"
+    args = retrieval_main.build_parser().parse_args([
+        "--train_dataset", str(train), "--vocab_file", _vocab(tmp_path),
+        "--output_path", str(out), "--bert_model", "test-tiny",
+        "--vocab_size", "32", "--batch_size", "4", "--epochs", "3",
+        "--seq_len", "7", "--num_image_embeds", "3", "--img_size", "64",
+        "--do_train", "true", "--do_test", "false",
+    ])
+
+    class _Guard1(_CountingGuard):
+        polls_until_trigger = 1
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(preempt, "PreemptionGuard", _Guard1)
+        retrieval_main.main(args)
+    assert ckpt_lib.latest_epoch(str(out)) == 0
+    log = open(os.path.join(str(out), "train.log")).read()
+    assert "preempted" in log, log

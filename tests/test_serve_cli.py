@@ -5,6 +5,8 @@ fan-out both execute."""
 import base64
 import io
 import json
+import os
+import time
 import threading
 import urllib.request
 
@@ -213,3 +215,68 @@ def test_metrics_endpoint(server_fixture):
     assert metrics["medvill_serve_padded_rows_total"] >= 0
     # TYPE comments present for every series
     assert "# TYPE medvill_serve_requests_total counter" in text
+
+
+def test_micro_batcher_graceful_drain():
+    """close() rejects new submits with ServerClosing (503 at the handler),
+    drain() waits for already-accepted requests to finish."""
+    import time as _t
+
+    def slow_run(x):
+        _t.sleep(0.2)
+        return [[1, 2]] * int(x.shape[0])
+
+    b = serve_main.MicroBatcher(slow_run, batch_size=2, max_wait_ms=10)
+    results = {}
+    clients = [threading.Thread(
+        target=lambda i=i: results.setdefault(
+            i, b.submit(np.zeros((4, 4, 3), np.uint8))))
+        for i in range(2)]
+    for t in clients:
+        t.start()
+    _t.sleep(0.05)
+    b.close()
+    with pytest.raises(serve_main.ServerClosing):
+        b.submit(np.zeros((4, 4, 3), np.uint8))
+    assert b.drain(timeout=5.0), "drain timed out"
+    for t in clients:
+        t.join(timeout=5.0)
+    assert set(results) == {0, 1}
+    assert all(list(v) == [1, 2] for v in results.values())
+    # drain also waits for HTTP handlers that haven't reached submit() yet
+    b2 = serve_main.MicroBatcher(slow_run, batch_size=2, max_wait_ms=10)
+    b2.enter_http()
+    b2.close()
+    assert not b2.drain(timeout=0.3)
+    b2.exit_http()
+    assert b2.drain(timeout=1.0)
+
+
+def test_install_graceful_shutdown_wiring():
+    """SIGTERM -> batcher.close() + threaded server.shutdown()."""
+    import logging
+    import signal as _signal
+
+    calls = []
+
+    class _FakeBatcher:
+        def close(self):
+            calls.append("close")
+
+    class _FakeServer:
+        batcher = _FakeBatcher()
+
+        def shutdown(self):
+            calls.append("shutdown")
+
+    prev = _signal.getsignal(_signal.SIGTERM)
+    try:
+        serve_main.install_graceful_shutdown(
+            _FakeServer(), logging.getLogger("t"))
+        os.kill(os.getpid(), _signal.SIGTERM)
+        deadline = time.monotonic() + 5.0
+        while "shutdown" not in calls and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert calls[0] == "close" and "shutdown" in calls, calls
+    finally:
+        _signal.signal(_signal.SIGTERM, prev)

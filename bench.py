@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_EQUIV_PAIRS_PER_SEC = 70.0
+_T0 = time.monotonic()   # process start, for bench_all's global budget
 
 
 def bench_decode(batch: int = 8, iters: int = 3, beam: int = 1) -> None:
@@ -455,14 +456,64 @@ def bench_pretrain(batch: int = 48, steps: int = 120, mode: str = "k60",
 
     pairs_per_sec = batch * k * n_dispatch / dt
     if not quiet:
-        print(json.dumps({
+        line = {
             "metric": "pretrain_pairs_per_sec_per_chip",
             "value": round(pairs_per_sec, 2),
             "unit": "image-text pairs/sec/chip",
             "vs_baseline": round(pairs_per_sec / A100_EQUIV_PAIRS_PER_SEC,
                                  3),
-        }))
+        }
+        mfu = _pretrain_mfu(cfg, pairs_per_sec)
+        if mfu is not None:
+            line["mfu"] = mfu
+        print(json.dumps(line))
     return pairs_per_sec
+
+
+def _pretrain_mfu(cfg, pairs_per_sec: float):
+    """Whole-step achieved MFU: analytic model FLOPs/pair x measured
+    pairs/s / the chip's bf16 peak.
+
+    Analytic (not XLA cost_analysis, which counts the k-micro-step scan
+    body ONCE and skips Pallas/conv custom-call flops — it under-reported
+    78x).  Counted, flops = 2*MACs: BERT encoder matmuls x3 (fwd+bwd),
+    gathered-MLM head x3, ResNet-50 forward ONLY (the whole trunk is
+    frozen+stop-gradded, so XLA DCEs its backward — DESIGN.md §4).
+    Rematerialization (off at the shipping batch-48 config) would add
+    recompute this model doesn't count.
+
+    NOTE this is whole-step MFU (~0.53 at the round-3 351.5 pairs/s); the
+    ~73% figure in DESIGN.md §4 is the MXU utilization of the BERT gemm
+    phase alone (74 ms of the 136 ms step), not the whole step."""
+    peak_by_kind = {
+        # bf16 peak FLOP/s per chip, public TPU specs
+        "TPU v5 lite": 197e12,   # v5e
+        "TPU v4": 275e12,
+        "TPU v5": 459e12,        # v5p
+        "TPU v6 lite": 918e12,   # v6e / Trillium
+    }
+    try:
+        peak = peak_by_kind.get(jax.devices()[0].device_kind)
+        if peak is None:
+            return None
+        L = cfg.total_len                      # 436 at the flagship config
+        H = cfg.bert.hidden_size               # 768
+        F = cfg.bert.intermediate_size         # 3072
+        V = cfg.bert.vocab_size                # 30522
+        layers = cfg.bert.num_hidden_layers    # 12
+        enc_fwd = layers * (8 * L * H * H      # QKV + output projections
+                            + 4 * L * H * F    # FFN up + down
+                            + 4 * L * L * H)   # scores + values matmuls
+        P = getattr(cfg, "mlm_gather_bound", 96) or 96
+        mlm_fwd = 2 * P * H * (V + H)          # vocab proj + transform
+        itm_fwd = 2 * H * H                    # pooler (+2-way head, ~0)
+        # torchvision ResNet-50: 4.09 GMACs at 224^2, conv flops scale
+        # with spatial area; forward only (trunk frozen)
+        resnet_fwd = 2 * 4.09e9 * (cfg.image.img_size / 224.0) ** 2
+        flops_per_pair = 3 * (enc_fwd + mlm_fwd + itm_fwd) + resnet_fwd
+        return round(flops_per_pair * pairs_per_sec / peak, 4)
+    except Exception:
+        return None
 
 
 def bench_host(n_images: int = 16, batch: int = 48,
@@ -564,6 +615,143 @@ def bench_ab(cfg_a: str, cfg_b: str, reps: int = 3) -> None:
     }))
 
 
+def _warm_marker_path(argv: list[str]) -> str:
+    """Marker file recording that this sub-mode's XLA program reached the
+    persistent compile cache once (keyed by argv + jax version: a changed
+    bench config or runtime invalidates the cache and the marker with it).
+    Round 3's official bench died because a sub-mode whose program was NOT
+    cached burned its full 900 s on a cold remote-tunnel compile."""
+    slug = "-".join(argv) + "-" + jax.__version__
+    return "/tmp/jax_cache/.medvill_warm_" + "".join(
+        c if (c.isalnum() or c in "-._") else "_" for c in slug)
+
+
+def _run_submode(argv: list[str], timeout_s: float):
+    """Run `bench.py <argv...>` in its own subprocess (the single-tenant
+    chip is free for it because the parent never initializes the TPU
+    backend).  Returns (rc, stdout, stderr_tail); rc -1 = timeout."""
+    import os
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + argv,
+            timeout=timeout_s, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE)
+        return (r.returncode, r.stdout.decode(errors="replace"),
+                r.stderr.decode(errors="replace")[-2000:])
+    except subprocess.TimeoutExpired as e:
+        err = (e.stderr or b"").decode(errors="replace")[-1500:]
+        return -1, "", f"timeout after {timeout_s:.0f}s\n" + err
+    except Exception as e:  # noqa: BLE001 — keep the headline alive
+        return -2, "", repr(e)
+
+
+def _last_json_line(text: str, must_contain: str = ""):
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith("{") and must_contain in line:
+            try:
+                json.loads(line)
+                return line
+            except ValueError:
+                continue
+    return None
+
+
+def bench_all() -> None:
+    """The driver-recorded bench (`python bench.py` with no args).
+
+    The driver parses the LAST JSON line of stdout and wraps the whole run
+    in its own wall-clock kill (BENCH_r03: rc=124, parsed=null — a cold
+    decode compile ate the budget and the headline, printed last-only back
+    then, never reached stdout).  Bulletproofing, in order:
+
+    1. the headline pretrain metric runs FIRST (own bounded subprocess)
+       and its JSON line prints immediately;
+    2. optional sub-modes (greedy decode, finetune) each run in a bounded
+       subprocess, gated on a global wall-clock budget
+       (MEDVILL_BENCH_BUDGET seconds, default 1100 — sized under the
+       driver's observed outer timeout) and on warm-cache markers: a
+       sub-mode whose XLA program never reached the persistent cache only
+       runs when enough budget remains to pay a cold remote-tunnel
+       compile;
+    3. the headline line is RE-printed after every sub-mode line and once
+       more at the end — a driver kill at any instant still leaves the
+       headline as the last complete JSON line on stdout.
+
+    Beam-4 decode (`python bench.py decode 8 3 4`, the mode behind the
+    reference's published BLEU) joins the sub-mode list through the same
+    cold-compile gate."""
+    import os
+
+    budget = float(os.environ.get("MEDVILL_BENCH_BUDGET", "1100"))
+
+    def remaining() -> float:
+        # counts from process start: the driver's outer kill clock started
+        # then, and the backend probe already spent from it
+        return budget - (time.monotonic() - _T0)
+
+    headline = None
+
+    def emit(line: str) -> None:
+        sys.stdout.write(line + "\n")
+        sys.stdout.flush()
+
+    def emit_headline() -> None:
+        if headline:
+            emit(headline)
+
+    # -- headline pretrain first: give it whatever it needs (a cold
+    # batch-48 k60 compile measured 5-9 min through the remote tunnel)
+    rc, out, err = _run_submode(
+        ["pretrain"], max(120.0, min(1000.0, remaining() - 30.0)))
+    headline = _last_json_line(out, "pretrain_pairs_per_sec_per_chip")
+    if headline:
+        emit_headline()
+        try:
+            open(_warm_marker_path(["pretrain"]), "w").close()
+        except OSError:
+            pass
+    else:
+        print(f"bench: headline pretrain subprocess rc={rc}:\n{err}",
+              file=sys.stderr)
+
+    # -- optional sub-modes, budget- and cache-gated
+    for argv in (["decode", "32", "2"], ["finetune", "16", "6"],
+                 ["decode", "8", "2", "4"]):
+        warm = os.path.exists(_warm_marker_path(argv))
+        # a warm run needs backend init + dispatch (~2-4 min worst case);
+        # a cold one pays a remote-tunnel XLA compile on top
+        need = 300.0 if warm else 800.0
+        if remaining() < need:
+            print("bench: skipping sub-mode %s (%s cache, %.0fs left < "
+                  "%.0fs needed)" % (" ".join(argv),
+                                     "warm" if warm else "cold",
+                                     remaining(), need), file=sys.stderr)
+            continue
+        rc, out, err = _run_submode(argv, remaining() - 60.0)
+        line = _last_json_line(out, '"metric"')
+        if rc == 0 and line:
+            emit(line)
+            emit_headline()   # keep the headline the LAST json line
+            try:
+                open(_warm_marker_path(argv), "w").close()
+            except OSError:
+                pass
+        else:
+            print("bench sub-mode %s rc=%d:\n%s"
+                  % (" ".join(argv), rc, err), file=sys.stderr)
+
+    # -- last resort: no headline captured yet -> run in-process (the chip
+    # is free again; an outer kill mid-run loses nothing that the
+    # subprocess path hadn't already lost)
+    if headline:
+        emit_headline()
+    else:
+        bench_pretrain()
+
+
 def _probe_backend(timeout_s: int = 300) -> None:
     """Fail fast (rc=1, clear stderr line) when the accelerator backend is
     unreachable, instead of hanging the whole bench at device init: an
@@ -631,39 +819,16 @@ def main() -> None:
         bench_host(batch=int(sys.argv[2]) if len(sys.argv) > 2 else 48,
                    workers=int(sys.argv[3]) if len(sys.argv) > 3 else 1)
         return
+    if cmd == "pretrain":
+        # headline metric as an explicit subcommand (bench_all runs it in
+        # a bounded subprocess); tuning args still work via `bench.py 48 ...`
+        bench_pretrain(
+            batch=int(sys.argv[2]) if len(sys.argv) > 2 else 48,
+            steps=int(sys.argv[3]) if len(sys.argv) > 3 else 120,
+            mode=sys.argv[4] if len(sys.argv) > 4 else "k60")
+        return
     if cmd == "all":
-        # the driver-recorded metrics (BASELINE.json names pretrain
-        # pairs/s and decode tokens/s as north stars); the headline pretrain
-        # line prints LAST and must survive any earlier failure or HANG (a
-        # transient backend outage was observed to hang a sub-mode's device
-        # init for 35+ min), so each sub-mode runs in its own
-        # timeout-bounded subprocess; the single-tenant chip is free for it
-        # because this parent has not initialized the TPU backend yet.
-        # Beam-4 decode (`python bench.py decode 8 3 4`, the mode behind
-        # the reference's published BLEU: 998.8 tok/s measured) is NOT in
-        # the default set: its fresh XLA compile runs >25 min through the
-        # remote-tunnel compile service, which would risk the whole run's
-        # time budget whenever the cache is cold
-        import subprocess
-        for argv in (["decode", "32", "2"], ["finetune", "16", "6"]):
-            try:
-                r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__)] + argv,
-                    timeout=900, stdout=subprocess.PIPE,
-                    stderr=subprocess.PIPE)
-                sys.stdout.write(r.stdout.decode())
-                sys.stdout.flush()
-                if r.returncode != 0:
-                    # surface the failure + its stderr tail — a silently
-                    # vanished sub-mode would read as "metric not measured"
-                    print("bench sub-mode %s exited %d:\n%s"
-                          % (argv[0], r.returncode,
-                             r.stderr.decode(errors="replace")[-2000:]),
-                          file=sys.stderr)
-            except Exception as e:  # noqa: BLE001 — keep the headline alive
-                print("bench sub-mode %s failed: %r" % (argv[0], e),
-                      file=sys.stderr)
-        bench_pretrain()
+        bench_all()
         return
 
     # tuning mode: `python bench.py <batch> [steps] [mode-tokens]`

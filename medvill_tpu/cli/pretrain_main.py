@@ -29,6 +29,7 @@ from medvill_tpu.train.pretrain import (init_state, make_eval_step,
                                         make_multi_train_step,
                                         make_train_step)
 from medvill_tpu.utils.logging import (MetricLogger, create_logger,
+                                       watch_norms,
                                         drain_metrics)
 from medvill_tpu.utils import preempt
 from medvill_tpu.utils.seed import set_seed, use_hardware_prng
@@ -59,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "for HF tokenizer download)")
     p.add_argument("--output_path", type=str, default="output")
     p.add_argument("--log_freq", type=int, default=10)
+    p.add_argument("--watch_interval", type=int, default=1000,
+                   help="dispatches between param/grad-EMA norm summaries "
+                        "(the wandb.watch(model) equivalent, "
+                        "models/train_origin.py:51 — watch logs histograms "
+                        "every 1000 steps; we log L2 norms; 0 disables)")
     # tasks
     p.add_argument("--mlm_task", type=str2bool, default=True)
     p.add_argument("--itm_task", type=str2bool, default=True)
@@ -376,6 +382,11 @@ def train(args) -> None:
             if i % cfg.log_freq == 0:
                 logger.info("epoch %d it %d loss %.4f", epoch, i * k_disp,
                             float(np.asarray(m["loss"]).reshape(-1)[-1]))
+            if args.watch_interval and i % args.watch_interval == 0:
+                # wandb.watch equivalent — off the hot path (host-syncs
+                # the params, so keep the interval coarse)
+                metrics_log.log(watch_norms(state),
+                                step=epoch * 10 ** 6 + i * k_disp)
         # one D2H transfer per metric+shape (not per dispatch) — see
         # utils/logging.py::drain_metrics
         agg = {k: drain_metrics(v) for k, v in agg.items()}

@@ -25,19 +25,48 @@ _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libwordpiece.so")
 
 
-def build_library(force: bool = False) -> Optional[str]:
-    """Build native/libwordpiece.so if missing; None if the toolchain or
-    sources are unavailable."""
-    if os.path.exists(_LIB_PATH) and not force:
-        return _LIB_PATH
-    if not os.path.exists(os.path.join(_NATIVE_DIR, "wordpiece.cc")):
-        return None
+_SRC_PATH = os.path.join(_NATIVE_DIR, "wordpiece.cc")
+_STAMP_PATH = _LIB_PATH + ".src.sha256"
+
+
+def _src_digest() -> Optional[str]:
+    import hashlib
+
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+        with open(_SRC_PATH, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+    except OSError:
+        return None
+
+
+def build_library(force: bool = False) -> Optional[str]:
+    """Build native/libwordpiece.so if missing OR if wordpiece.cc drifted
+    since the last build (the .so is NOT checked into git; a stale binary
+    silently winning over edited source was the failure mode).  Returns
+    None if the toolchain or sources are unavailable."""
+    digest = _src_digest()
+    if digest is None:
+        return _LIB_PATH if os.path.exists(_LIB_PATH) else None
+    if not force and os.path.exists(_LIB_PATH):
+        try:
+            with open(_STAMP_PATH) as f:
+                if f.read().strip() == digest:
+                    return _LIB_PATH
+        except OSError:
+            pass  # no stamp (e.g. built by hand) -> rebuild to be safe
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-s", "-B"], check=True,
                        capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError):
         return None
-    return _LIB_PATH if os.path.exists(_LIB_PATH) else None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        with open(_STAMP_PATH, "w") as f:
+            f.write(digest + "\n")
+    except OSError:
+        pass
+    return _LIB_PATH
 
 
 def _load(lib_path: str):

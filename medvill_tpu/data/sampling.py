@@ -40,12 +40,20 @@ def random_word(tokens: List[int], vocab_len: int, mask_id: int,
 
 
 _nonalnum = re.compile(r"[^\w]+", re.UNICODE)
+# fuzzywuzzy's default force_ascii=True path (utils.asciidammit) deletes
+# exactly the code points 128..255 before processing — characters above
+# U+00FF (e.g. CJK) are NOT stripped and count as word chars under the
+# unicode \w.  Reproduced exactly so labels_match == (token_sort_ratio ==
+# 100) on any input, not just the ASCII CheXpert labels.
+_latin1_delete = {i: None for i in range(128, 256)}
 
 
 def _token_sort_key(s: str) -> str:
-    """fuzzywuzzy full_process + token sort: lowercase, strip
-    non-alphanumerics, sort whitespace tokens, join."""
-    s = _nonalnum.sub(" ", str(s).lower()).strip()
+    """fuzzywuzzy full_process(force_ascii=True) + token sort: drop
+    U+0080..U+00FF, replace non-word chars with spaces, lowercase, sort
+    whitespace tokens, join."""
+    s = str(s).translate(_latin1_delete)
+    s = _nonalnum.sub(" ", s.lower()).strip()
     return " ".join(sorted(s.split()))
 
 

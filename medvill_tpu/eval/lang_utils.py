@@ -3,11 +3,11 @@
 Equivalent of ``language_eval`` (reference: sc/lang_utils.py:12-60), which
 wraps the external ``pycocoevalcap`` package (unused by the reference's main
 path).  The package is not in this image; when importable we use it, else we
-fall back to native metrics — corpus BLEU (``eval/bleu.py``) plus ROUGE-L
-and CIDEr-D (``eval/caption_metrics.py``, coco-caption conventions) — so
-callers always get the reference's metric keys.  METEOR alone stays
-pycocoevalcap-only: it shells out to a JVM with bundled data files and has
-no self-contained definition to reimplement faithfully.
+fall back to native metrics — corpus BLEU (``eval/bleu.py``), ROUGE-L and
+CIDEr-D (``eval/caption_metrics.py``, coco-caption conventions), and
+METEOR (``eval/meteor.py``, METEOR-1.5 exact+stem modules with documented
+divergences) — so callers always get the reference's FULL metric key set
+(sc/lang_utils.py:31-37: Bleu_1-4 / METEOR / ROUGE_L / CIDEr).
 """
 from __future__ import annotations
 
@@ -40,10 +40,13 @@ def language_eval(preds: Sequence[Dict], model_id: str = "",
         # the native fallback must cover a missing JVM as well
         from medvill_tpu.eval.bleu import language_eval_bleu
         from medvill_tpu.eval.caption_metrics import cider_d, rouge_l
+        from medvill_tpu.eval.meteor import meteor_strings
 
         out = language_eval_bleu(list(preds))
         hyps = [p["caption"].split() for p in preds]
         refs = [[p["gt_caption"].split()] for p in preds]
+        out["METEOR"] = meteor_strings([p["caption"] for p in preds],
+                                       [[p["gt_caption"]] for p in preds])[0]
         out["ROUGE_L"] = rouge_l(hyps, refs)[0]
         out["CIDEr"] = cider_d(hyps, refs)[0]
         return out

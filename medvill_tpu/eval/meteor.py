@@ -1,0 +1,366 @@
+"""Native METEOR caption metric (exact + stem modules).
+
+Completes the reference's ``language_eval`` key set (sc/lang_utils.py:31-37:
+Bleu_1-4 / METEOR / ROUGE_L / CIDEr) without pycocoevalcap, whose METEOR
+shells out to a bundled Java jar (meteor-1.5.jar) plus a JVM — neither is in
+this image.  This module reimplements METEOR 1.5 (Denkowski & Lavie 2014)
+from the published description, scoped to the self-contained parts:
+
+* matchers: **exact** and **stem** (module weights 1.0 / 0.6, the jar's
+  English defaults).  The jar's further **synonym** (WordNet data) and
+  **paraphrase** (a ~50 MB bundled table) modules need external data with
+  no self-contained definition — they are intentionally NOT implemented,
+  which makes this a *documented divergence*: scores here are a lower
+  bound on the jar's (fewer match candidates, never more).
+* parameters: the jar's English defaults alpha=0.85, beta=0.2, gamma=0.6,
+  delta=0.75.
+* content/function word discounting (the delta parameter): function words
+  are discounted at weight (1-delta).  The jar derives its function-word
+  list from corpus frequency (relative frequency > 1e-3); we vendor a
+  standard closed-class English list below — same mechanism, approximate
+  membership.
+* stemmer: Porter (1980) as published.  The jar uses Snowball's English
+  stemmer (Porter2); the two differ on a small tail of forms — divergence
+  documented here rather than vendoring Snowball's full rule tables.
+* corpus score: computed from the **summed sufficient statistics** over
+  segments (the jar's aggregate scoring), not the mean of per-sentence
+  scores; per-sentence scores are also returned, coco-caption style.
+* multiple references: per-segment statistics come from the
+  highest-scoring reference (the jar's behavior).
+
+Alignment: candidate unigram matches are resolved one-to-one, preferring
+lower-stage (exact over stem) matches, ties broken left-to-right — the
+standard resolution when not running the jar's full beam search over chunk
+minimization.  On typical report-generation output (mostly exact matches,
+few duplicate tokens) the beam search and the positional resolution pick
+the same alignment.
+
+Verified by hand-computed oracles in ``tests/test_meteor.py`` (stemmer
+vectors from Porter's paper; sentence scores worked through the formula by
+hand).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+ALPHA = 0.85
+BETA = 0.2
+GAMMA = 0.6
+DELTA = 0.75
+WEIGHT_EXACT = 1.0
+WEIGHT_STEM = 0.6
+
+# Closed-class English function words (approximation of the jar's
+# frequency-derived list; see module docstring).  Punctuation tokens are
+# treated as function words too, per the jar.
+FUNCTION_WORDS = frozenset("""
+a an the this that these those some any each every no all both either
+neither much many more most few little less least own other another such
+what which who whom whose
+i you he she it we they me him her us them my your his its our their mine
+yours hers ours theirs myself yourself himself herself itself ourselves
+yourselves themselves one ones
+am is are was were be been being do does did done doing have has had having
+will would shall should can could may might must ought need dare used
+and or but nor so yet for if while although though because since unless
+until when whenever where wherever whereas after before as than whether
+not never also just only even still too very quite rather almost
+in on at by to from of with without within into onto upon about above
+below under over between among through during against across behind
+beyond beside besides near off out up down around along past toward
+towards per via
+there here now then once again ever yes no
+""".split())
+
+
+def normalize(text: str) -> List[str]:
+    """The jar's ``-norm`` preprocessing, simplified: lowercase, split
+    punctuation off word boundaries, whitespace-tokenize."""
+    out: List[str] = []
+    for raw in text.lower().split():
+        word = []
+        pre: List[str] = []
+        post: List[str] = []
+        i, j = 0, len(raw)
+        while i < j and not raw[i].isalnum():
+            pre.append(raw[i])
+            i += 1
+        while j > i and not raw[j - 1].isalnum():
+            post.append(raw[j - 1])
+            j -= 1
+        word = raw[i:j]
+        out.extend(pre)
+        if word:
+            out.append(word)
+        out.extend(reversed(post))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (Porter 1980, "An algorithm for suffix stripping"),
+# transcribed from the published rule tables.
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in "aeiou":
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m in [C](VC)^m[V]: the number of VC alternations."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        cons = _is_cons(stem, i)
+        if cons and prev_vowel:
+            m += 1
+        prev_vowel = not cons
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (len(word) >= 2 and word[-1] == word[-2]
+            and _is_cons(word, len(word) - 1))
+
+
+def _ends_cvc(word: str) -> bool:
+    """*o: stem ends cvc where the final c is not w, x or y."""
+    if len(word) < 3:
+        return False
+    return (_is_cons(word, len(word) - 3)
+            and not _is_cons(word, len(word) - 2)
+            and _is_cons(word, len(word) - 1)
+            and word[-1] not in "wxy")
+
+
+_STEP2 = (("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+          ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+          ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+          ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+          ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+          ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+          ("biliti", "ble"))
+_STEP3 = (("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+          ("ical", "ic"), ("ful", ""), ("ness", ""))
+_STEP4 = ("al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+          "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive",
+          "ize")
+
+
+def porter_stem(word: str) -> str:
+    if len(word) <= 2 or not word.isalpha():
+        return word
+    w = word
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+
+    # Step 1b
+    flag_1b = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w = w[:-2]
+        flag_1b = True
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w = w[:-3]
+        flag_1b = True
+    if flag_1b:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _ends_cvc(w):
+            w += "e"
+
+    # Step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # Step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # Step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # Step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1:
+                if suf == "ion" and not stem.endswith(("s", "t")):
+                    break
+                w = stem
+            break
+
+    # Step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _ends_cvc(w[:-1])):
+            w = w[:-1]
+
+    # Step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Alignment + scoring
+
+
+def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, float]]:
+    """One-to-one unigram alignment: exact matches first, then stem
+    matches over the leftovers; within a stage, left-to-right positional
+    resolution.  Returns (hyp_idx, ref_idx, module_weight) triples."""
+    matches: List[Tuple[int, int, float]] = []
+    hyp_free = [True] * len(hyp)
+    ref_free = [True] * len(ref)
+    for weight, key in ((WEIGHT_EXACT, lambda t: t),
+                        (WEIGHT_STEM, porter_stem)):
+        ref_slots: Dict[str, List[int]] = {}
+        for j in range(len(ref) - 1, -1, -1):
+            if ref_free[j]:
+                ref_slots.setdefault(key(ref[j]), []).append(j)
+        for i, tok in enumerate(hyp):
+            if not hyp_free[i]:
+                continue
+            slots = ref_slots.get(key(tok))
+            if slots:
+                j = slots.pop()   # leftmost remaining (list built reversed)
+                hyp_free[i] = False
+                ref_free[j] = False
+                matches.append((i, j, weight))
+    matches.sort()
+    return matches
+
+
+def _chunks(matches: List[Tuple[int, int, float]]) -> int:
+    """Number of chunks: maximal runs contiguous AND monotone in both
+    hyp and ref order (matches pre-sorted by hyp index)."""
+    if not matches:
+        return 0
+    n = 1
+    for (i0, j0, _), (i1, j1, _) in zip(matches, matches[1:]):
+        if i1 != i0 + 1 or j1 != j0 + 1:
+            n += 1
+    return n
+
+
+def _weighted_counts(tokens: List[str], matched: Dict[int, float]
+                     ) -> Tuple[float, float]:
+    """(weighted matches, weighted length) with content words at weight
+    DELTA and function words at 1-DELTA."""
+    num = 0.0
+    den = 0.0
+    for idx, tok in enumerate(tokens):
+        w = (1.0 - DELTA) if tok in FUNCTION_WORDS else DELTA
+        den += w
+        if idx in matched:
+            num += w * matched[idx]
+    return num, den
+
+
+class _Stats:
+    """Sufficient statistics of one (hyp, ref) alignment; addable so the
+    corpus score is computed from the aggregate (the jar's EVAL mode)."""
+
+    __slots__ = ("p_num", "p_den", "r_num", "r_den", "chunks", "matches")
+
+    def __init__(self, p_num=0.0, p_den=0.0, r_num=0.0, r_den=0.0,
+                 chunks=0, matches=0):
+        self.p_num, self.p_den = p_num, p_den
+        self.r_num, self.r_den = r_num, r_den
+        self.chunks, self.matches = chunks, matches
+
+    def add(self, other: "_Stats") -> None:
+        self.p_num += other.p_num
+        self.p_den += other.p_den
+        self.r_num += other.r_num
+        self.r_den += other.r_den
+        self.chunks += other.chunks
+        self.matches += other.matches
+
+    def score(self) -> float:
+        if self.p_den <= 0 or self.r_den <= 0:
+            return 0.0
+        p = self.p_num / self.p_den
+        r = self.r_num / self.r_den
+        if p + r == 0:
+            return 0.0
+        f_mean = p * r / (ALPHA * p + (1.0 - ALPHA) * r)
+        penalty = 0.0
+        if self.matches > 0:
+            # the published formula applies the fragmentation penalty
+            # unconditionally (ch >= 1 whenever m > 0): even a perfectly
+            # ordered alignment pays gamma*(1/m)^beta, which is why METEOR
+            # tops out well below 1.0 on identical sentences
+            frag = self.chunks / float(self.matches)
+            penalty = GAMMA * frag ** BETA
+        return (1.0 - penalty) * f_mean
+
+
+def _segment_stats(hyp: List[str], ref: List[str]) -> _Stats:
+    matches = _align(hyp, ref)
+    hyp_matched = {i: w for i, _, w in matches}
+    ref_matched = {j: w for _, j, w in matches}
+    p_num, p_den = _weighted_counts(hyp, hyp_matched)
+    r_num, r_den = _weighted_counts(ref, ref_matched)
+    return _Stats(p_num, p_den, r_num, r_den, _chunks(matches),
+                  len(matches))
+
+
+def meteor(hypotheses: Sequence[Sequence[str]],
+           references: Sequence[Sequence[Sequence[str]]]
+           ) -> Tuple[float, List[float]]:
+    """Corpus METEOR over tokenized hyps and per-image reference lists.
+    Returns ``(corpus_score, per_image_scores)`` like coco-caption's
+    ``compute_score``: the corpus score aggregates each segment's
+    best-reference statistics."""
+    total = _Stats()
+    per_image: List[float] = []
+    for hyp, refs in zip(hypotheses, references):
+        hyp = list(hyp)
+        best: _Stats | None = None
+        best_score = -1.0
+        for ref in refs:
+            st = _segment_stats(hyp, list(ref))
+            sc = st.score()
+            if sc > best_score:
+                best, best_score = st, sc
+        if best is None:
+            best = _Stats()
+            best_score = 0.0
+        total.add(best)
+        per_image.append(best_score)
+    return total.score(), per_image
+
+
+def meteor_strings(hyps: Sequence[str], refs: Sequence[Sequence[str]]
+                   ) -> Tuple[float, List[float]]:
+    """Convenience wrapper over raw strings: applies ``normalize`` (the
+    jar's ``-norm``) to both sides."""
+    return meteor([normalize(h) for h in hyps],
+                  [[normalize(r) for r in rs] for rs in refs])

@@ -94,6 +94,14 @@ class DecodeSettings:
     #    preprocessor's (unconsumed) position_ids tensor; kept for
     #    comparison with earlier rounds of this framework.
     window_positions: str = "reference"
+    # Run the 12 encoder layers as ONE lax.scan over stacked per-layer
+    # params instead of 12 unrolled copies.  Bit-identical outputs (same
+    # ops, same order — tests/test_decode_equivalence.py proves equality
+    # with the unrolled path), but the decode program's HLO shrinks ~12x:
+    # a cold beam-4 XLA compile through the remote compile service took
+    # >25 min unrolled.  False restores the unrolled program (and its
+    # compile-cache entries).
+    scan_layers: bool = True
 
     @property
     def img_type_id(self) -> int:
@@ -189,6 +197,93 @@ def _sep_last_ids(cls_id: int, sep_id: int, B: int, vis: int):
     return ids
 
 
+class _DecodeBackend:
+    """Prefill + per-window step functions over one of two cache layouts:
+
+    - unrolled (``settings.scan_layers=False``): the module's own
+      ``decode_prefill``/``decode_step`` with a list of per-layer (K, V)
+      caches — leaves are [B, L, heads, dim], batch on axis 0;
+    - scanned (default): the encoder's layer loop runs as ``lax.scan``
+      over stacked per-layer params, caches are one (K, V) pair of
+      [layers, B, L, heads, dim] arrays — batch on axis 1
+      (``batch_axis``).  Same math in the same order; ~12x smaller HLO.
+    """
+
+    def __init__(self, model: VLPForPreTraining, variables, B: int, L: int):
+        self.model = model
+        self.variables = variables
+        bound = model.bind(variables)
+        self.caches = bound.bert.init_kv_caches(B, L)
+
+    def apply(self, method, *args, **kwargs):
+        return self.model.apply(self.variables, *args, method=method,
+                                **kwargs)
+
+
+class _UnrolledBackend(_DecodeBackend):
+    batch_axis = 0
+
+    def prefill(self, image, seg_ids, seg_types, bias, pixel_indices):
+        _, caches = self.apply(VLPForPreTraining.decode_prefill, image,
+                               seg_ids, seg_types, self.caches, bias,
+                               pixel_indices=pixel_indices)
+        return caches
+
+    def window(self, window_ids, pos, types, caches, cache_index, bias):
+        return self.apply(VLPForPreTraining.decode_step, window_ids, pos,
+                          types, caches, cache_index, bias)
+
+
+class _ScanBackend(_DecodeBackend):
+    batch_axis = 1
+
+    def __init__(self, model: VLPForPreTraining, variables, B: int, L: int):
+        super().__init__(model, variables, B, L)
+        from medvill_tpu.models.bert import BertLayer
+
+        cfg = model.config
+        n = cfg.num_hidden_layers
+        enc = variables["params"]["bert"]["encoder"]
+        self.stacked_params = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[enc[f"layer_{i}"]
+                                         for i in range(n)])
+        self.layer = BertLayer(cfg)
+        # [layers, B, L, heads, dim] K and V
+        self.caches = (jnp.stack([c[0] for c in self.caches]),
+                       jnp.stack([c[1] for c in self.caches]))
+
+    def _encode(self, x, caches, cache_index, bias):
+        def body(hidden, xs):
+            params, ck, cv = xs
+            hidden, new_cache = self.layer.apply(
+                {"params": params}, hidden, bias, deterministic=True,
+                kv_cache=(ck, cv), cache_index=cache_index)
+            return hidden, new_cache
+
+        hidden, new_caches = jax.lax.scan(
+            body, x, (self.stacked_params, caches[0], caches[1]))
+        return hidden, new_caches
+
+    def prefill(self, image, seg_ids, seg_types, bias, pixel_indices):
+        x = self.apply(VLPForPreTraining.decode_prefill_embed, image,
+                       seg_ids, seg_types, pixel_indices=pixel_indices)
+        _, caches = self._encode(x, self.caches, 0, bias)
+        return caches
+
+    def window(self, window_ids, pos, types, caches, cache_index, bias):
+        x = self.apply(VLPForPreTraining.decode_embed, window_ids, pos,
+                       types)
+        hidden, new_caches = self._encode(x, caches, cache_index, bias)
+        logits = self.apply(VLPForPreTraining.decode_logits, hidden)
+        return logits, new_caches
+
+
+def _make_backend(model, variables, settings: DecodeSettings, B: int,
+                  L: int) -> _DecodeBackend:
+    cls = _ScanBackend if settings.scan_layers else _UnrolledBackend
+    return cls(model, variables, B, L)
+
+
 def greedy_decode(model: VLPForPreTraining, variables, image,
                   settings: DecodeSettings, cls_id: int, sep_id: int,
                   gt_tokens: Optional[jnp.ndarray] = None,
@@ -213,15 +308,11 @@ def greedy_decode(model: VLPForPreTraining, variables, image,
     L = vis + T + 1
     B = image.shape[0]
 
-    def apply(method, *args, **kwargs):
-        return model.apply(variables, *args, method=method, **kwargs)
-
-    caches = model.bind(variables).bert.init_kv_caches(B, L)
+    backend = _make_backend(model, variables, settings, B, L)
     seg_ids = _sep_last_ids(cls_id, sep_id, B, vis)
     seg_types = jnp.full((B, vis), settings.img_type_id, jnp.int32)
-    _, caches = apply(VLPForPreTraining.decode_prefill, image, seg_ids,
-                      seg_types, caches, _prefill_bias(vis, L),
-                      pixel_indices=pixel_indices)
+    caches = backend.prefill(image, seg_ids, seg_types,
+                             _prefill_bias(vis, L), pixel_indices)
 
     if gt_tokens is None:
         gt_tokens = jnp.zeros((B, T), jnp.int32)
@@ -241,9 +332,8 @@ def greedy_decode(model: VLPForPreTraining, variables, image,
             settings.img_type_id, settings.txt_type_id).astype(jnp.int32)
         types = jnp.broadcast_to(types, (B, 2))
         bias = _window_bias(vis, t, L)
-        logits, new_caches = apply(
-            VLPForPreTraining.decode_step, window_ids, pos, types, caches,
-            vis - 1 + t, bias)
+        logits, new_caches = backend.window(window_ids, pos, types, caches,
+                                            vis - 1 + t, bias)
         logits = logits.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         if do_sample:
@@ -276,11 +366,15 @@ def greedy_decode(model: VLPForPreTraining, variables, image,
     return out_ids, out_logp, gt_nll
 
 
-def _gather_beams(tree, parent: jnp.ndarray, B: int, K: int):
+def _gather_beams(tree, parent: jnp.ndarray, B: int, K: int,
+                  batch_axis: int = 0):
     """Gather along the flattened (B*K) batch dim by per-(B,K) parent beam
-    (all leaves are [B*K, ...])."""
+    (leaves carry batch on ``batch_axis``: 0 for the unrolled cache layout,
+    1 for the scanned [layers, B*K, ...] one)."""
     flat_parent = (jnp.arange(B)[:, None] * K + parent).reshape(-1)
-    return jax.tree_util.tree_map(lambda x: x[flat_parent], tree)
+    take = (lambda x: x[flat_parent]) if batch_axis == 0 else \
+        (lambda x: x[:, flat_parent])
+    return jax.tree_util.tree_map(take, tree)
 
 
 def _ngram_forbid_mask(out_ids: jnp.ndarray, t, n: int, vocab: int,
@@ -353,18 +447,15 @@ def beam_search(model: VLPForPreTraining, variables, image,
     V = cfg.vocab_size
     NEG_INIT = -1e30  # "no candidate yet"; NOT -inf to keep arithmetic clean
 
-    def apply(method, *args, **kwargs):
-        return model.apply(variables, *args, method=method, **kwargs)
-
     # prefill once at batch B, then broadcast caches to B*K
-    caches = model.bind(variables).bert.init_kv_caches(B, L)
+    backend = _make_backend(model, variables, settings, B, L)
+    ax = backend.batch_axis
     seg_ids = _sep_last_ids(cls_id, sep_id, B, vis)
     seg_types = jnp.full((B, vis), settings.img_type_id, jnp.int32)
-    _, caches = apply(VLPForPreTraining.decode_prefill, image, seg_ids,
-                      seg_types, caches, _prefill_bias(vis, L),
-                      pixel_indices=pixel_indices)
+    caches = backend.prefill(image, seg_ids, seg_types,
+                             _prefill_bias(vis, L), pixel_indices)
     caches = jax.tree_util.tree_map(
-        lambda x: jnp.repeat(x, K, axis=0), caches)  # [B*K, ...]
+        lambda x: jnp.repeat(x, K, axis=ax), caches)  # [.., B*K, ...]
 
     def step(t, carry):
         (caches, out_ids, scores, last_tok, last_eos, best_score,
@@ -381,9 +472,9 @@ def beam_search(model: VLPForPreTraining, variables, image,
             jnp.where((t == 0) & (jnp.arange(2)[None, :] == 0),
                       settings.img_type_id,
                       settings.txt_type_id).astype(jnp.int32), (BK, 2))
-        logits, new_caches = apply(
-            VLPForPreTraining.decode_step, window_ids, pos, types, caches,
-            vis - 1 + t, _window_bias(vis, t, L))
+        logits, new_caches = backend.window(window_ids, pos, types, caches,
+                                            vis - 1 + t,
+                                            _window_bias(vis, t, L))
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if settings.forbid_duplicate_ngrams:
             logp = logp + _ngram_forbid_mask(out_ids, t, settings.ngram_size,
@@ -405,7 +496,7 @@ def beam_search(model: VLPForPreTraining, variables, image,
         parent = top_idx // V
         token = (top_idx % V).astype(jnp.int32)
 
-        new_caches = _gather_beams(new_caches, parent, B, K)
+        new_caches = _gather_beams(new_caches, parent, B, K, batch_axis=ax)
         out_ids = _gather_beams(out_ids, parent, B, K)
         token_flat = token.reshape(-1)
         out_ids = out_ids.at[:, t].set(token_flat)

@@ -137,16 +137,26 @@ class VLPEncoder(nn.Module):
 
     # ---------------- incremental decode path ----------------
 
+    def prefill_embed(self, image: jnp.ndarray, input_ids_seg: jnp.ndarray,
+                      token_type_ids_seg: jnp.ndarray,
+                      pixel_indices: Optional[jnp.ndarray] = None
+                      ) -> jnp.ndarray:
+        """Image-segment embedding only (everything before the encoder) —
+        the prefill front half, exposed so the scan-over-layers decode
+        backend (models/decoder.py) can run the encoder itself."""
+        feats, vis_pe = self.encode_image(image, pixel_indices, train=False)
+        return self.embed_image_segment(
+            input_ids_seg, feats, vis_pe, token_type_ids_seg,
+            deterministic=True)
+
     def prefill(self, image: jnp.ndarray, input_ids_seg: jnp.ndarray,
                 token_type_ids_seg: jnp.ndarray, kv_caches,
                 bias: jnp.ndarray,
                 pixel_indices: Optional[jnp.ndarray] = None):
         """Encode the image segment, writing K/V into the caches at [0, N+2).
         Returns (hidden_seg, new_caches)."""
-        feats, vis_pe = self.encode_image(image, pixel_indices, train=False)
-        img_embed = self.embed_image_segment(
-            input_ids_seg, feats, vis_pe, token_type_ids_seg,
-            deterministic=True)
+        img_embed = self.prefill_embed(image, input_ids_seg,
+                                       token_type_ids_seg, pixel_indices)
         hidden, new_caches = self.encoder(
             img_embed, bias, deterministic=True, kv_caches=kv_caches,
             cache_index=0)
@@ -228,11 +238,32 @@ class VLPForPreTraining(nn.Module):
         hidden, new_caches = self.bert.decode_window(
             token_ids, position_ids, token_type_ids, kv_caches, cache_index,
             bias)
+        return self.decode_logits(hidden, task_idx=task_idx), new_caches
+
+    # split entry points for the scan-over-layers decode backend
+    # (models/decoder.py): embedding / prefill front half / logits tail,
+    # with the encoder's layer loop run OUTSIDE the module as a lax.scan
+    # over stacked per-layer params (12x smaller decode HLO -> minutes
+    # instead of tens of minutes of XLA compile through the remote
+    # compile service)
+    def decode_embed(self, token_ids, position_ids, token_type_ids):
+        return self.bert.embeddings(token_ids,
+                                    token_type_ids=token_type_ids,
+                                    position_ids=position_ids,
+                                    deterministic=True)
+
+    def decode_prefill_embed(self, image, input_ids_seg, token_type_ids_seg,
+                             pixel_indices=None):
+        return self.bert.prefill_embed(image, input_ids_seg,
+                                       token_type_ids_seg, pixel_indices)
+
+    def decode_logits(self, hidden, task_idx=None):
+        """MLM logits of the LAST window position: [B, V]."""
         word_emb = self.bert.embeddings.word_embeddings.embedding
         # decode is always the s2s pipeline: task_idx=3 under
         # relax_projection (sc/data_loader.py:464)
         if task_idx is None and getattr(self.config, "relax_projection",
                                         0) > 1:
-            task_idx = jnp.full((token_ids.shape[0],), 3, jnp.int32)
+            task_idx = jnp.full((hidden.shape[0],), 3, jnp.int32)
         logits = self.cls(hidden[:, -1:, :], word_emb, task_idx=task_idx)
-        return logits[:, 0, :], new_caches
+        return logits[:, 0, :]

@@ -123,3 +123,51 @@ class MetricLogger:
                 self._wandb.finish()
             except Exception:
                 pass
+
+
+def _l2_norm(tree) -> Optional[float]:
+    """Global L2 norm over a pytree's floating arrays (None if empty)."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = [x for x in jax.tree_util.tree_leaves(tree)
+              if isinstance(x, jax.Array)
+              and jnp.issubdtype(x.dtype, jnp.floating)]
+    if not leaves:
+        return None
+    total = jax.jit(lambda ls: jnp.sqrt(sum(
+        jnp.vdot(l.astype(jnp.float32), l.astype(jnp.float32))
+        for l in ls)))(leaves)
+    return float(total)
+
+
+def watch_norms(state) -> Dict[str, float]:
+    """``wandb.watch(model)`` equivalent (reference:
+    models/train_origin.py:51): periodic parameter/gradient summaries.
+    wandb.watch logs parameter + gradient HISTOGRAMS every 1000 steps; the
+    TPU-native equivalent logs global and per-top-level-module L2 norms of
+    the parameters plus the Adam first-moment norm (the gradient EMA — the
+    gradient signal available outside the jitted step), into the same
+    JSONL/wandb mirror.  Called off the hot path at a configurable
+    interval, so the compiled train step is unchanged."""
+    import jax
+
+    out: Dict[str, float] = {}
+    g = _l2_norm(state.params)
+    if g is not None:
+        out["watch/param_norm"] = g
+    for name in sorted(state.params):
+        n = _l2_norm(state.params[name])
+        if n is not None:
+            out[f"watch/param_norm/{name}"] = n
+    # Adam first moments: tree_leaves with an is_leaf trap for the
+    # ScaleByAdamState namedtuples (possibly nested under masking/chains)
+    adam_states = [s for s in jax.tree_util.tree_leaves(
+        state.opt_state, is_leaf=lambda x: hasattr(x, "mu"))
+        if hasattr(s, "mu")]
+    mus = [s.mu for s in adam_states]
+    if mus:
+        n = _l2_norm(mus)
+        if n is not None:
+            out["watch/grad_ema_norm"] = n
+    return out

@@ -197,3 +197,30 @@ def test_sampling_controls_still_deterministic_under_key(tiny_vlp):
     assert (0 <= ids).all() and (ids < cfg.bert.vocab_size).all()
     lp = np.asarray(logp_a)
     assert np.isfinite(lp).all() and (lp <= 0).all()
+
+
+def test_scan_layers_matches_unrolled(tiny_vlp):
+    """The scan-over-layers decode backend (the compile-time fix: ~12x
+    smaller HLO) must reproduce the unrolled program's outputs exactly —
+    same ops in the same order, only the loop representation changes."""
+    cfg, model, variables, img = tiny_vlp
+    scan = DecodeSettings(max_txt_length=T, mask_word_id=4, eos_id=-1,
+                          scan_layers=True)
+    unrl = dataclasses.replace(scan, scan_layers=False)
+    g_s = jax.jit(lambda im: greedy_decode(model, variables, im, scan, 2, 3))
+    g_u = jax.jit(lambda im: greedy_decode(model, variables, im, unrl, 2, 3))
+    ids_s, logp_s, _ = g_s(img)
+    ids_u, logp_u, _ = g_u(img)
+    np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_u))
+    np.testing.assert_allclose(np.asarray(logp_s), np.asarray(logp_u),
+                               rtol=0, atol=1e-6)
+
+    bs = dataclasses.replace(scan, beam_size=3)
+    bu = dataclasses.replace(unrl, beam_size=3)
+    b_s = jax.jit(lambda im: beam_search(model, variables, im, bs, 2, 3))
+    b_u = jax.jit(lambda im: beam_search(model, variables, im, bu, 2, 3))
+    ids_s, sc_s = b_s(img)
+    ids_u, sc_u = b_u(img)
+    np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_u))
+    np.testing.assert_allclose(np.asarray(sc_s), np.asarray(sc_u),
+                               rtol=0, atol=1e-6)

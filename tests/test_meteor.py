@@ -1,0 +1,164 @@
+"""Oracles for the native METEOR fallback (eval/meteor.py).
+
+Stemmer vectors are the examples published in Porter (1980); sentence and
+corpus scores are worked through the METEOR-1.5 formula by hand (the
+derivations are in comments — alpha 0.85, beta 0.2, gamma 0.6, delta 0.75,
+module weights exact 1.0 / stem 0.6)."""
+import math
+
+import pytest
+
+from medvill_tpu.eval.meteor import (FUNCTION_WORDS, meteor, meteor_strings,
+                                     normalize, porter_stem)
+
+
+PORTER_VECTORS = [
+    # NOTE: the paper's per-step tables show each step's output in
+    # isolation (e.g. step 2 maps operator -> operate); the vectors here
+    # are FULL-pipeline stems (operator -> operate -> step 4 -> oper),
+    # matching the canonical voc.txt/output.txt distribution.
+    # step 1a
+    ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+    ("caress", "caress"), ("cats", "cat"),
+    # step 1b (+ cleanup)
+    ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+    ("bled", "bled"), ("motoring", "motor"), ("sing", "sing"),
+    ("conflated", "conflat"), ("troubled", "troubl"), ("sized", "size"),
+    ("hopping", "hop"), ("tanned", "tan"), ("falling", "fall"),
+    ("hissing", "hiss"), ("fizzed", "fizz"), ("failing", "fail"),
+    ("filing", "file"),
+    # step 1c
+    ("happy", "happi"), ("sky", "sky"),
+    # step 2 (+ the later steps that keep stripping)
+    ("relational", "relat"), ("conditional", "condit"),
+    ("valenci", "valenc"), ("hesitanci", "hesit"),
+    ("digitizer", "digit"), ("radicalli", "radic"),
+    ("differentli", "differ"), ("vileli", "vile"),
+    ("analogousli", "analog"), ("vietnamization", "vietnam"),
+    ("predication", "predic"), ("operator", "oper"),
+    ("feudalism", "feudal"), ("decisiveness", "decis"),
+    ("hopefulness", "hope"), ("callousness", "callous"),
+    ("formaliti", "formal"), ("sensitiviti", "sensit"),
+    ("sensibiliti", "sensibl"),
+    # step 3
+    ("triplicate", "triplic"), ("formative", "form"),
+    ("formalize", "formal"), ("electriciti", "electr"),
+    ("electrical", "electr"), ("hopeful", "hope"), ("goodness", "good"),
+    # step 4
+    ("revival", "reviv"), ("allowance", "allow"), ("inference", "infer"),
+    ("airliner", "airlin"), ("gyroscopic", "gyroscop"),
+    ("adjustable", "adjust"), ("defensible", "defens"),
+    ("irritant", "irrit"), ("replacement", "replac"),
+    ("adjustment", "adjust"), ("dependent", "depend"),
+    ("adoption", "adopt"), ("communism", "commun"),
+    ("activate", "activ"), ("angulariti", "angular"),
+    ("homologous", "homolog"), ("effective", "effect"),
+    ("bowdlerize", "bowdler"),
+    # step 5
+    ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+    ("controll", "control"), ("roll", "roll"),
+]
+
+
+@pytest.mark.parametrize("word,stem", PORTER_VECTORS)
+def test_porter_published_vectors(word, stem):
+    assert porter_stem(word) == stem
+
+
+def test_porter_short_words_untouched():
+    assert porter_stem("a") == "a"
+    assert porter_stem("is") == "is"
+    assert porter_stem("x9") == "x9"   # non-alpha untouched
+
+
+def test_normalize_splits_punctuation():
+    assert normalize("The lungs, are clear.") == [
+        "the", "lungs", ",", "are", "clear", "."]
+    assert normalize("(no effusion)") == ["(", "no", "effusion", ")"]
+
+
+def test_identical_sentence():
+    # hyp = ref = "the lungs are clear": 4 exact matches (w=1), one chunk.
+    # the/are are function words (weight .25), lungs/clear content (.75):
+    # P = R = (2*.75 + 2*.25)/(2*.75 + 2*.25) = 1 -> F = 1
+    # pen = .6 * (1/4)^.2 ; score = 1 - pen
+    assert "the" in FUNCTION_WORDS and "are" in FUNCTION_WORDS
+    assert "lungs" not in FUNCTION_WORDS
+    score, per = meteor_strings(["the lungs are clear"],
+                                [["the lungs are clear"]])
+    expected = 1.0 - 0.6 * 0.25 ** 0.2
+    assert score == pytest.approx(expected, abs=1e-9)
+    assert per == [pytest.approx(expected, abs=1e-9)]
+
+
+def test_stem_matches_weighted():
+    # hyp "lungs clearing" vs ref "lung clear": no exact matches, both
+    # pairs match at the stem stage (lungs->lung, clearing->clear), w=.6.
+    # All content words: P = R = (2*.75*.6)/(2*.75) = .6
+    # F = .36/(.85*.6+.15*.6) = .6 ; ch=1, m=2 -> pen = .6*(.5)^.2
+    score, _ = meteor_strings(["lungs clearing"], [["lung clear"]])
+    expected = 0.6 * (1.0 - 0.6 * 0.5 ** 0.2)
+    assert score == pytest.approx(expected, abs=1e-9)
+
+
+def test_no_overlap_scores_zero():
+    score, per = meteor_strings(["cardiomegaly noted"], [["pneumothorax"]])
+    assert score == 0.0
+    assert per == [0.0]
+
+
+def test_fragmentation_penalty():
+    # Same unigrams, fully scrambled pairwise: every match is its own
+    # chunk. hyp "dog cat fish bird" vs ref "cat dog bird fish":
+    # 4 exact content matches, ch=4, m=4 -> pen = .6*1^.2 = .6, F=1
+    score, _ = meteor([["dog", "cat", "fish", "bird"]],
+                      [[["cat", "dog", "bird", "fish"]]])
+    assert score == pytest.approx(0.4, abs=1e-9)
+
+
+def test_corpus_is_aggregate_not_mean():
+    # seg1 = identical 4-token sentence (stats: p 2/2, ch 1, m 4)
+    # seg2 = the stem pair above    (stats: p 0.9/1.5, ch 1, m 2)
+    # aggregate: P = R = 2.9/3.5, frag = 2/6
+    segs_h = ["the lungs are clear", "lungs clearing"]
+    segs_r = [["the lungs are clear"], ["lung clear"]]
+    score, per = meteor_strings(segs_h, segs_r)
+    p = 2.9 / 3.5
+    expected = p * (1.0 - 0.6 * (2.0 / 6.0) ** 0.2)
+    assert score == pytest.approx(expected, abs=1e-9)
+    # and it is NOT the mean of the per-segment scores
+    assert score != pytest.approx(sum(per) / 2, abs=1e-3)
+
+
+def test_best_reference_selected():
+    # two refs: the identical one must win over the disjoint one
+    one, _ = meteor_strings(["the lungs are clear"],
+                            [["the lungs are clear"]])
+    both, _ = meteor_strings(["the lungs are clear"],
+                             [["pneumothorax seen", "the lungs are clear"]])
+    assert both == pytest.approx(one, abs=1e-12)
+
+
+def test_exact_preferred_over_stem():
+    # hyp "clear", ref "clearing clear": the exact candidate must be
+    # taken (w=1), not the stem one: P = .75/.75 = 1 (content),
+    # R = .75/(2*.75) = .5, F = .5/(.85+.075)... worked inline:
+    score, _ = meteor_strings(["clear"], [["clearing clear"]])
+    p, r = 1.0, 0.5
+    f = p * r / (0.85 * p + 0.15 * r)
+    expected = f * (1.0 - 0.6 * (1.0 / 1.0) ** 0.2)
+    assert score == pytest.approx(expected, abs=1e-9)
+
+
+def test_language_eval_fallback_reports_full_key_set():
+    from medvill_tpu.eval.lang_utils import language_eval
+
+    preds = [dict(image_id=0, caption="the lungs are clear",
+                  gt_caption="the lungs are clear"),
+             dict(image_id=1, caption="no pleural effusion seen",
+                  gt_caption="no pleural effusion")]
+    out = language_eval(preds)
+    # the reference's full key set (sc/lang_utils.py:31-37)
+    assert set(out) >= {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
+                        "METEOR", "ROUGE_L", "CIDEr"}
+    assert 0.0 < out["METEOR"] <= 1.0

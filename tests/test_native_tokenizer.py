@@ -105,3 +105,38 @@ def test_overflow_falls_back_exactly(native, vocab_file):
     want = python_ids(vocab_file, text)
     assert len(got) > native.MAX_IDS
     assert got == want
+
+
+def test_rebuild_on_source_drift(tmp_path, monkeypatch):
+    """The .so is not checked into git; build_library must rebuild when
+    wordpiece.cc drifts (a stale binary silently winning over edited
+    source was the failure mode that kept the .so out of the tree)."""
+    import os
+    import shutil
+
+    from medvill_tpu.data import native_tokenizer as nt
+
+    d = tmp_path / "native"
+    shutil.copytree(nt._NATIVE_DIR, d,
+                    ignore=shutil.ignore_patterns("*.so", "*.sha256"))
+    monkeypatch.setattr(nt, "_NATIVE_DIR", str(d))
+    monkeypatch.setattr(nt, "_LIB_PATH", str(d / "libwordpiece.so"))
+    monkeypatch.setattr(nt, "_SRC_PATH", str(d / "wordpiece.cc"))
+    monkeypatch.setattr(nt, "_STAMP_PATH",
+                        str(d / "libwordpiece.so.src.sha256"))
+    lib = nt.build_library()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    assert os.path.exists(nt._STAMP_PATH)
+    mtime1 = os.path.getmtime(lib)
+    # unchanged source -> no rebuild
+    assert nt.build_library() == lib
+    assert os.path.getmtime(lib) == mtime1
+    # drifted source -> rebuild + fresh stamp
+    with open(nt._SRC_PATH, "a") as f:
+        f.write("\n// drift marker\n")
+    os.utime(lib, (mtime1 - 100, mtime1 - 100))  # make rebuild observable
+    assert nt.build_library() == lib
+    assert os.path.getmtime(lib) > mtime1 - 100
+    with open(nt._STAMP_PATH) as f:
+        assert f.read().strip() == nt._src_digest()

@@ -45,6 +45,19 @@ def test_labels_match_token_sort():
     assert S.labels_match("A b", "B A")  # case/sort insensitive
 
 
+def test_labels_match_force_ascii_semantics():
+    """fuzzywuzzy's default full_process(force_ascii=True) deletes exactly
+    code points U+0080..U+00FF (utils.asciidammit) — so Latin-1 accents
+    vanish while higher-plane word chars survive.  token_sort_ratio
+    references: 'Œdème'(U+0152,U+00E8) -> 'dme'; CJK stays."""
+    assert S.labels_match("Œdème", "Œdme")   # è (U+00E8) deleted; Œ is
+    # U+0152 (>0xFF) and survives on both sides
+    assert S.labels_match("café", "caf")      # é deleted
+    assert not S.labels_match("café", "cafe")
+    assert S.labels_match("肺炎", "肺炎")      # CJK word chars survive
+    assert not S.labels_match("肺炎", "")
+
+
 def test_random_pair_sampling_aligned_and_negative():
     data = [dict(label=f"l{i % 2}", text=f"t{i}", img=f"i{i}.jpg")
             for i in range(20)]

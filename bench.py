@@ -22,6 +22,7 @@ reference's actual deployment class.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -58,9 +59,12 @@ def bench_decode(batch: int = 8, iters: int = 3, beam: int = 1) -> None:
         jnp.zeros((2, L), jnp.int32), jnp.zeros((2, 1, L, L)),
         masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
         deterministic=True)
-    settings = DecodeSettings(max_txt_length=128, mask_word_id=103,
-                              eos_id=-1,  # never stop: measure full length
-                              beam_size=beam)
+    settings = DecodeSettings(
+        max_txt_length=128, mask_word_id=103,
+        eos_id=-1,  # never stop: measure full length
+        beam_size=beam,
+        scan_layers=os.environ.get("MEDVILL_DECODE_SCAN", "1") != "0",
+        scan_unroll=int(os.environ.get("MEDVILL_DECODE_UNROLL", "1")))
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.standard_normal(
         (batch, 512, 512, 3)).astype(np.float32))

@@ -14,7 +14,7 @@ from medvill_tpu.cli import add_parallelism_args, parallelism_kwargs
 from medvill_tpu.core.config import (BertConfig, ClassificationConfig,
                                      ImageEncoderConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
-from medvill_tpu.core.mesh import cli_mesh_and_place
+from medvill_tpu.core.mesh import cli_mesh_and_place, global_any
 from medvill_tpu.data.classification import (ClassificationDataset,
                                              get_labels_and_frequencies,
                                              pos_weights)
@@ -251,6 +251,14 @@ def train(args) -> None:
     best_metric, n_no_improve = -np.inf, 0
     lr_scale = 1.0
     guard = preempt.PreemptionGuard(logger=logger)
+    _multi = jax.process_count() > 1
+
+    def preempted() -> bool:
+        # multi-host: every host must agree to stop at the same dispatch
+        # boundary (core/mesh.py::global_any)
+        return (global_any(mesh, guard.triggered) if _multi
+                else guard.triggered)
+
     with guard:
       for epoch in range(cfg.max_epochs):
         losses = []
@@ -263,7 +271,7 @@ def train(args) -> None:
                                      jnp.asarray(lr_scale))
             # device value — float() here would host-sync every step
             losses.append(loss)
-            if guard.triggered:
+            if preempted():
                 # graceful preemption: keep the work (classification runs
                 # are short + early-stopped, so resume is save-only — no
                 # mid-epoch position marker like pretrain/finetune)

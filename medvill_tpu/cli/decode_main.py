@@ -125,6 +125,17 @@ def build_parser():
     p.add_argument("--relax_projection", action="store_true",
                    help="decode a checkpoint finetuned with 4 task-specific "
                         "MLM-head projections (reference: finetune.py:307)")
+    p.add_argument("--scan_layers", type=str2bool, default=True,
+                   help="run the encoder layers as one lax.scan over "
+                        "stacked params (~12x smaller HLO; cold beam-4 "
+                        "compile >25 min unrolled vs minutes scanned). "
+                        "false = unrolled: ~1.5x faster steady-state "
+                        "decode, for deployments with a warm compile "
+                        "cache (DESIGN.md §6)")
+    p.add_argument("--scan_unroll", type=int, default=1,
+                   help="lax.scan unroll factor for the layer loop "
+                        "(measured neutral-to-slower at 3; knob kept for "
+                        "other shapes)")
     p.add_argument("--do_sample", type=str2bool, default=False,
                    help="multinomial sampling instead of argmax in the "
                         "greedy loop (reference sample_mode='sample', "
@@ -215,6 +226,7 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
         min_len=int(getattr(args, "min_len", 0) or 0),
         forbid_ignore_ids=forbid_ignore_ids,
         window_positions=_resolve_positions(args, ckpt_kind, logger),
+        scan_layers=args.scan_layers, scan_unroll=args.scan_unroll,
         **sampling_kwargs(args, args.beam_size))
 
     def image_loader(p):

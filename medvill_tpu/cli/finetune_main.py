@@ -15,7 +15,8 @@ from medvill_tpu.cli import add_parallelism_args, parallelism_kwargs
 from medvill_tpu.core.config import (BertConfig, FinetuneConfig,
                                      ImageEncoderConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
-from medvill_tpu.core.mesh import cli_mesh_and_place, multihost_initialize
+from medvill_tpu.core.mesh import (cli_mesh_and_place, global_any,
+                                   multihost_initialize)
 from medvill_tpu.data.pretrain import BatchLoader, dispatch_loader
 from medvill_tpu.data.seq2seq import Img2TxtDataset
 from medvill_tpu.data.tokenization import BertTokenizer
@@ -358,6 +359,14 @@ def main(args) -> None:
     if skip_batches:
         loader.skip_next(skip_batches)
     guard = preempt.PreemptionGuard(logger=logger)
+    _multi = jax.process_count() > 1
+
+    def preempted() -> bool:
+        # multi-host: every host must agree to stop at the same dispatch
+        # boundary (core/mesh.py::global_any)
+        return (global_any(mesh, guard.triggered) if _multi
+                else guard.triggered)
+
     with guard:
       for epoch in epochs:
         agg = {}
@@ -374,7 +383,7 @@ def main(args) -> None:
             for k, v in m.items():
                 agg.setdefault(k, []).append(v)
             batches_done += k_disp if is_group else 1
-            if guard.triggered:
+            if preempted():
                 # graceful preemption: checkpoint post-step state + the
                 # host-batch position; the resume-by-scan above re-enters
                 # this epoch at this exact batch on relaunch

@@ -19,8 +19,8 @@ from medvill_tpu.cli import add_parallelism_args, parallelism_kwargs
 from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                      PretrainConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
-from medvill_tpu.core.mesh import (cli_mesh_and_place, multihost_initialize,
-                                   shard_batch)
+from medvill_tpu.core.mesh import (cli_mesh_and_place, global_any,
+                                   multihost_initialize, shard_batch)
 from medvill_tpu.data.pretrain import (BatchLoader, CXRPretrainDataset,
                                        dispatch_loader)
 from medvill_tpu.data.tokenization import BertTokenizer
@@ -330,6 +330,15 @@ def train(args) -> None:
         train_loader.skip_next(skip_batches)
 
     guard = preempt.PreemptionGuard(logger=logger)
+    _multi = jax.process_count() > 1
+
+    def preempted() -> bool:
+        # multi-host: SIGTERM lands on one host; every host must agree to
+        # stop at the same dispatch boundary or the others hang in the next
+        # gradient all-reduce (core/mesh.py::global_any)
+        return (global_any(mesh, guard.triggered) if _multi
+                else guard.triggered)
+
     with guard:
       for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
@@ -351,7 +360,7 @@ def train(args) -> None:
                 step_fn = train_step
             state, m = step_fn(state, batch, rng)
             batches_done += k_disp if is_group else 1
-            if guard.triggered:
+            if preempted():
                 # graceful preemption: checkpoint the post-step state,
                 # record the host-batch position, exit 0.  A relaunch of
                 # the same command resumes here (bit-exact with workers>1
@@ -416,7 +425,7 @@ def train(args) -> None:
         # processes (--zero1 multi-host: orbax writes per-host shards)
         if ckpt_lib.is_saving_process(state):
             ckpt_lib.save(cfg.output_path, epoch, state, config=vars(args))
-        if guard.triggered and epoch + 1 < cfg.epochs:
+        if preempted() and epoch + 1 < cfg.epochs:
             # preempted during eval/checkpoint: the epoch checkpoint is
             # already complete — mark the whole epoch done so a relaunch
             # continues at epoch + 1

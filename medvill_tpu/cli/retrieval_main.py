@@ -13,7 +13,7 @@ from medvill_tpu.cli import add_parallelism_args, parallelism_kwargs
 from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                      RetrievalConfig)
 from medvill_tpu.core import checkpoint as ckpt_lib
-from medvill_tpu.core.mesh import cli_mesh_and_place
+from medvill_tpu.core.mesh import cli_mesh_and_place, global_any
 from medvill_tpu.data.pretrain import BatchLoader, dispatch_loader
 from medvill_tpu.data.retrieval import CXRRetrievalDataset, collate_pairs
 from medvill_tpu.data.tokenization import BertTokenizer
@@ -240,6 +240,14 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
                                       drop_last=False)
             score_step = jax.jit(make_score(model, cfg))
         guard = preempt.PreemptionGuard(logger=logger)
+        _multi = jax.process_count() > 1
+
+        def preempted() -> bool:
+            # multi-host: every host must agree to stop at the same
+            # dispatch boundary (core/mesh.py::global_any)
+            return (global_any(mesh, guard.triggered) if _multi
+                    else guard.triggered)
+
         with guard:
           for epoch in range(cfg.epochs):
             losses, accs = [], []
@@ -250,7 +258,7 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
                 # device values — float() here would host-sync every step
                 losses.append(m["loss"])
                 accs.append(m["acc"])
-                if guard.triggered:
+                if preempted():
                     # graceful preemption: keep the work (save-only, like
                     # classification — retrieval pairs are resampled per
                     # epoch so there is no replayable mid-epoch position)

@@ -80,6 +80,12 @@ def build_parser():
     p.add_argument("--forbid_duplicate_ngrams", type=str2bool, default=False)
     p.add_argument("--ngram_size", type=int, default=3)
     p.add_argument("--min_len", type=int, default=0)
+    p.add_argument("--scan_layers", type=str2bool, default=True,
+                   help="lax.scan over stacked layer params (fast cold "
+                        "compile); false = unrolled, ~1.5x faster "
+                        "steady-state decode for servers with a warm "
+                        "compile cache (DESIGN.md §6)")
+    p.add_argument("--scan_unroll", type=int, default=1)
     p.add_argument("--max_txt_length", type=int, default=128)
     p.add_argument("--len_vis_input", type=int, default=256)
     p.add_argument("--img_size", type=int, default=512)
@@ -167,6 +173,7 @@ def build_engine(args, logger):
         ngram_size=args.ngram_size, min_len=args.min_len,
         new_segment_ids=args.new_segment_ids,
         window_positions=_resolve_positions(args, ckpt_kind, logger),
+        scan_layers=args.scan_layers, scan_unroll=args.scan_unroll,
         **sampling_kwargs(args, args.beam_size))
 
     # variables must be a jit ARGUMENT, not a closure capture: captured

@@ -222,6 +222,48 @@ def cli_mesh_and_place(mesh_shape: Sequence[int], model_parallel: int = 1,
     return mesh, lambda tree: replicate(mesh, tree)
 
 
+_GLOBAL_ANY_CACHE: dict = {}
+
+
+def global_any(mesh: Mesh, flag: bool) -> bool:
+    """Cross-process OR of a per-process boolean.
+
+    Multi-host preemption agreement: a SIGTERM lands on ONE host (spot /
+    maintenance events are per-VM), but every host must leave the
+    collective-bearing train loop at the SAME dispatch boundary or the
+    others hang in the next gradient all-reduce.  Each trainer therefore
+    polls ``global_any(mesh, guard.triggered)`` instead of the local flag
+    when ``jax.process_count() > 1``: a one-element-per-device max over the
+    mesh whose replicated scalar result is read back on every host.
+
+    Single-process runs short-circuit to the local flag — no device work,
+    byte-identical behavior to the pre-multihost code path.
+
+    The device read-back synchronizes the host with the device stream once
+    per poll; at the recommended ``--steps_per_dispatch`` settings (k>=10)
+    that sync hides entirely behind the multi-second dispatch it follows.
+    No reference equivalent: torch DDP simply dies collectively when one
+    rank is killed (sc/finetune.py:224-235).
+    """
+    if jax.process_count() == 1:
+        return bool(flag)
+    import jax.numpy as jnp
+
+    key = (id(mesh), mesh.axis_names)
+    cached = _GLOBAL_ANY_CACHE.get(key)
+    if cached is None:
+        sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        rep = NamedSharding(mesh, P())
+        reduce = jax.jit(jnp.max, out_shardings=rep)
+        _GLOBAL_ANY_CACHE[key] = (sharding, reduce)
+    else:
+        sharding, reduce = cached
+    local = np.full((jax.local_device_count(),), 1.0 if flag else 0.0,
+                    np.float32)
+    garr = jax.make_array_from_process_local_data(sharding, local)
+    return bool(float(jax.device_get(reduce(garr))) > 0.0)
+
+
 def multihost_initialize() -> None:
     """Multi-host entry (reference DDP equivalent: sc/finetune.py:224-235).
 

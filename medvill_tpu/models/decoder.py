@@ -102,6 +102,11 @@ class DecodeSettings:
     # >25 min unrolled.  False restores the unrolled program (and its
     # compile-cache entries).
     scan_layers: bool = True
+    # lax.scan unroll factor for the layer loop: HLO size (and cold compile
+    # time) grows ~linearly with it while the per-iteration while-loop
+    # overhead and params-slice copies amortize.  Measured A/B series (cold
+    # greedy batch-32 / beam-4 batch-8 on the chip) in DESIGN.md §6.
+    scan_unroll: int = 1
 
     @property
     def img_type_id(self) -> int:
@@ -260,8 +265,14 @@ class _ScanBackend(_DecodeBackend):
                 kv_cache=(ck, cv), cache_index=cache_index)
             return hidden, new_cache
 
+        # unroll: HLO size (and cold remote-tunnel compile time) grows
+        # ~linearly with the factor while per-iteration loop overhead and
+        # the params-slice copies shrink; measured A/B series in
+        # DESIGN.md §6 (an in-place carry DUS variant measured SLOWER than
+        # this stacked-ys form: 2855 vs 3375 tok/s greedy batch 32)
         hidden, new_caches = jax.lax.scan(
-            body, x, (self.stacked_params, caches[0], caches[1]))
+            body, x, (self.stacked_params, caches[0], caches[1]),
+            unroll=self.scan_unroll)
         return hidden, new_caches
 
     def prefill(self, image, seg_ids, seg_types, bias, pixel_indices):
@@ -281,7 +292,9 @@ class _ScanBackend(_DecodeBackend):
 def _make_backend(model, variables, settings: DecodeSettings, B: int,
                   L: int) -> _DecodeBackend:
     cls = _ScanBackend if settings.scan_layers else _UnrolledBackend
-    return cls(model, variables, B, L)
+    backend = cls(model, variables, B, L)
+    backend.scan_unroll = max(1, settings.scan_unroll)
+    return backend
 
 
 def greedy_decode(model: VLPForPreTraining, variables, image,

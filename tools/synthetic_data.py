@@ -94,6 +94,12 @@ def generate(root: str, n: int = 16, img_size: int = 64,
         with open(os.path.join(root, "classification", fname), "w") as f:
             for i, p in enumerate(paths):
                 labels = rng.sample(CHEXPERT, rng.randint(1, 2))
+                if fname == "Train.jsonl":
+                    # the CLI derives the label vocabulary from the TRAIN
+                    # split (get_labels_and_frequencies, like the
+                    # reference's mmbt); guarantee every label appears
+                    # there so Valid/Test rows can't carry unseen labels
+                    labels = sorted(set(labels) | {CHEXPERT[i % len(CHEXPERT)]})
                 f.write(json.dumps({
                     "id": f"{fname}-{i}",
                     "text": _text(rng),

@@ -363,7 +363,7 @@ def bench_pretrain(batch: int = 48, steps: int = 120, mode: str = "k60",
     import dataclasses
 
     tokens = [t for t in mode.split(",") if t]
-    known = {"remat", "rematall", "noremat", "fuse", "nos2d"}
+    known = {"remat", "rematall", "noremat", "fuse", "nos2d", "fastdrop"}
     for t in tokens:
         if t not in known and not (
                 (t.startswith("k") and t[1:].isdigit())
@@ -397,7 +397,8 @@ def bench_pretrain(batch: int = 48, steps: int = 120, mode: str = "k60",
         # fused QKV measured -5% (DESIGN.md §4) — off unless "fuse" is
         # passed for an A/B; matches the BertConfig.fused_qkv=False default
         bert=dataclasses.replace(BertConfig.base(), remat=remat,
-                                 fused_qkv="fuse" in tokens),
+                                 fused_qkv="fuse" in tokens,
+                                 fast_dropout="fastdrop" in tokens),
         image=ImageEncoderConfig(img_size=512, num_image_embeds=180,
                                  remat_blocks=remat_blocks,
                                  s2d_stem="nos2d" not in tokens),

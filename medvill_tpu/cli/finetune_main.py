@@ -278,20 +278,7 @@ def main(args) -> None:
     skip_batches = 0
     recover = ckpt_lib.latest_epoch(cfg.output_dir)
     if recover is not None:
-        state = ckpt_lib.restore(cfg.output_dir, recover, state)
-        start_epoch = recover + 1
-        logger.info("resumed from epoch %d", recover)
-        # a preemption marker (utils/preempt.py) means epoch `recover` was
-        # interrupted mid-epoch: re-enter it and skip the trained batches
-        # instead of skipping to recover + 1
-        _marker = preempt.read_marker(cfg.output_dir)
-        if _marker is not None:
-            if _marker["epoch"] == recover and _marker["batches_done"]:
-                start_epoch = recover
-                skip_batches = int(_marker["batches_done"])
-                logger.info("preemption marker: re-entering epoch %d at "
-                            "host batch %d", recover, skip_batches)
-            preempt.clear_marker(cfg.output_dir)
+        pass  # placed restore below (after place_state)
     elif cfg.model_recover_path:
         if os.path.isfile(cfg.model_recover_path):
             # torch pretrain checkpoint (the published MedViLL .pth) —
@@ -322,7 +309,28 @@ def main(args) -> None:
         logger.info("recovered pretrain weights from %s",
                     cfg.model_recover_path)
 
+    # place BEFORE the orbax resume restore: the checkpoint then reads
+    # directly into the run's sharded layout (zero1/TP).  Restoring into
+    # the unplaced host state first would make the later placement reshard
+    # committed cross-process arrays outside jit (DCN transport error on
+    # the CPU Gloo multi-host harness; see pretrain_main + the pretrain
+    # multi-process preemption test for the composed proof).
     state = place_state(state)
+    if recover is not None:
+        state = ckpt_lib.restore(cfg.output_dir, recover, state)
+        start_epoch = recover + 1
+        logger.info("resumed from epoch %d", recover)
+        # a preemption marker (utils/preempt.py) means epoch `recover` was
+        # interrupted mid-epoch: re-enter it and skip the trained batches
+        # instead of skipping to recover + 1
+        _marker = preempt.read_marker(cfg.output_dir)
+        if _marker is not None:
+            if _marker["epoch"] == recover and _marker["batches_done"]:
+                start_epoch = recover
+                skip_batches = int(_marker["batches_done"])
+                logger.info("preemption marker: re-entering epoch %d at "
+                            "host batch %d", recover, skip_batches)
+            preempt.clear_marker(cfg.output_dir)
     if mp > 1:
         logger.info("tensor-parallel degree %d over a %s mesh", mp,
                     dict(mesh.shape))
@@ -331,6 +339,12 @@ def main(args) -> None:
     # at most two jitted specializations exist (x single/multi dispatch)
     k_disp = max(1, getattr(args, "steps_per_dispatch", 1))
     _steps = {}
+    # canonical output placement: keeps the live run on the same program
+    # as a checkpoint-restored run (see pretrain_main — GSPMD-propagated
+    # output shardings otherwise diverge at the ulp level under --zero1,
+    # breaking bit-exact preemption resume)
+    canon = jax.tree_util.tree_map(lambda x: getattr(x, "sharding", None),
+                                   state)
 
     def step_for_epoch(epoch0: int, multi: bool):
         ratio = ft.drop_worst_ratio_for_epoch(cfg, epoch0)
@@ -340,7 +354,8 @@ def main(args) -> None:
                 model, tx, cfg, t_total, k_disp, drop_worst_ratio=ratio)
             ) if multi else (lambda: ft.make_train_step(
                 model, tx, cfg, t_total, drop_worst_ratio=ratio))
-            _steps[key] = jax.jit(make(), donate_argnums=(0,))
+            _steps[key] = jax.jit(make(), donate_argnums=(0,),
+                                  out_shardings=(canon, None))
         return _steps[key]
 
     _KEYS = ("image", "input_ids", "segment_ids", "mask_spec", "masked_ids",

@@ -257,33 +257,42 @@ def train(args) -> None:
                               opt_state=tx.init(new_params))
         logger.info("initialized visual trunk from %s (trunk frozen=%s)",
                     args.resnet_init_path, cfg.image.freeze_prefix_stages)
-    if cfg.weight_load and cfg.pre_trained_model_path:
-        if os.path.isfile(cfg.pre_trained_model_path):
-            # torch CXRBERT pretrain .pth (the published MedViLL weights):
-            # the reference's --weight_load restarts pretraining from
-            # CXRBERT.from_pretrained (main_origin.py:106-115,
-            # train_origin.py:28-34)
-            from medvill_tpu.core import torch_init
+    if cfg.weight_load and cfg.pre_trained_model_path \
+            and os.path.isfile(cfg.pre_trained_model_path):
+        # torch CXRBERT pretrain .pth (the published MedViLL weights):
+        # the reference's --weight_load restarts pretraining from
+        # CXRBERT.from_pretrained (main_origin.py:106-115,
+        # train_origin.py:28-34)
+        from medvill_tpu.core import torch_init
 
-            new_params, new_bs = torch_init.init_cxrbert_from_torch(
-                state.params, state.batch_stats,
-                cfg.pre_trained_model_path)
-            state = state.replace(params=new_params, batch_stats=new_bs,
-                                  opt_state=tx.init(new_params))
-            logger.info("restored torch pretrain checkpoint %s",
-                        cfg.pre_trained_model_path)
-        else:
-            epoch = ckpt_lib.latest_epoch(cfg.pre_trained_model_path)
-            if epoch is None:
-                # fail loudly: a typo'd path silently pretraining from
-                # random init would misattribute the resulting run
-                raise FileNotFoundError(
-                    f"--pre_trained_model_path "
-                    f"{cfg.pre_trained_model_path}: not a torch checkpoint "
-                    "file and no orbax epoch found")
-            state = ckpt_lib.restore(cfg.pre_trained_model_path, epoch,
-                                     state)
-            logger.info("restored checkpoint epoch %s", epoch)
+        new_params, new_bs = torch_init.init_cxrbert_from_torch(
+            state.params, state.batch_stats,
+            cfg.pre_trained_model_path)
+        state = state.replace(params=new_params, batch_stats=new_bs,
+                              opt_state=tx.init(new_params))
+        logger.info("restored torch pretrain checkpoint %s",
+                    cfg.pre_trained_model_path)
+    # place BEFORE any orbax restore so the checkpoint reads directly into
+    # the run's sharded layout (zero1/TP).  Restoring into the unplaced
+    # host state and re-placing afterwards would ask device_put to reshard
+    # committed cross-process arrays OUTSIDE jit — which needs a DCN
+    # transport that e.g. the CPU Gloo multi-host harness doesn't have
+    # (caught by tests/test_multiprocess_preempt.py); reading each host's
+    # own shards from the checkpoint is also strictly less I/O.
+    state = place_state(state)
+    if cfg.weight_load and cfg.pre_trained_model_path \
+            and not os.path.isfile(cfg.pre_trained_model_path):
+        epoch = ckpt_lib.latest_epoch(cfg.pre_trained_model_path)
+        if epoch is None:
+            # fail loudly: a typo'd path silently pretraining from
+            # random init would misattribute the resulting run
+            raise FileNotFoundError(
+                f"--pre_trained_model_path "
+                f"{cfg.pre_trained_model_path}: not a torch checkpoint "
+                "file and no orbax epoch found")
+        state = ckpt_lib.restore(cfg.pre_trained_model_path, epoch,
+                                 state)
+        logger.info("restored checkpoint epoch %s", epoch)
     # preemption resume: a SIGTERM'd run (utils/preempt.py) leaves a marker
     # pointing at its mid-epoch checkpoint in output_path; consume it,
     # restore, and skip the already-trained host batches of that epoch.
@@ -300,21 +309,30 @@ def train(args) -> None:
         logger.info(
             "resuming preempted run from %s: epoch %d, %d host batches "
             "already trained", cfg.output_path, start_epoch, skip_batches)
-    state = place_state(state)
     if mp > 1:
         logger.info("tensor-parallel degree %d over a %s mesh", mp,
                     dict(mesh.shape))
     k_disp = max(1, getattr(args, "steps_per_dispatch", 1))
+    # pin the output state to the CANONICAL placement: without it, GSPMD
+    # propagates its own output shardings, so the live run's state drifts
+    # onto a different program than a checkpoint-restored run's (restore
+    # targets the canonical placement) — measured ulp-level divergence per
+    # step under --zero1, which breaks bit-exact preemption resume
+    # (tests/test_multiprocess_preempt.py digests)
+    canon = jax.tree_util.tree_map(lambda x: getattr(x, "sharding", None),
+                                   state)
     if k_disp > 1:
         # k micro-steps per jit dispatch (lax.scan over stacked batches):
         # amortizes per-dispatch host/RPC overhead (~25% of wall step time
         # measured at the reference config); grad accumulation composes —
         # MultiSteps state advances inside the scan
         train_step = jax.jit(make_multi_train_step(model, tx, cfg, k_disp),
-                             donate_argnums=(0,))
+                             donate_argnums=(0,),
+                             out_shardings=(canon, None))
     else:
         train_step = jax.jit(make_train_step(model, tx, cfg),
-                             donate_argnums=(0,))
+                             donate_argnums=(0,),
+                             out_shardings=(canon, None))
     eval_step = jax.jit(make_eval_step(model, cfg))
     rng = jax.random.PRNGKey(cfg.seed)
 
@@ -354,7 +372,8 @@ def train(args) -> None:
             elif k_disp > 1:
                 if single_step is None:
                     single_step = jax.jit(make_train_step(model, tx, cfg),
-                                          donate_argnums=(0,))
+                                          donate_argnums=(0,),
+                                          out_shardings=(canon, None))
                 step_fn = single_step
             else:
                 step_fn = train_step

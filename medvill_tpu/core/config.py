@@ -71,6 +71,12 @@ class BertConfig:
     # config (-10 pairs/s: the per-step param concat defeats XLA's
     # weight-layout assignment), so off by default.
     fused_qkv: bool = False
+    # integer-threshold Bernoulli for the hidden/embedding dropouts: keep
+    # iff raw PRNG bits >= floor(rate * 2^32) — the same Bernoulli(rate)
+    # marginal as random.bernoulli without the bits->float conversion on
+    # the VPU.  A different stream mapping (dropout is not bit-matched to
+    # the reference in any mode); perf A/B knob, off by default.
+    fast_dropout: bool = False
     # relax_projection>1: the MLM-head transform emits that many stacked
     # task-specific projections, selected per sample by task_idx (reference:
     # sc/pytorch_pretrained_bert/model.py:435-496; finetune.py:307-319 sets 4

@@ -34,6 +34,28 @@ def _dtype(cfg: BertConfig):
     return jnp.dtype(cfg.compute_dtype)
 
 
+class _FastDropout(nn.Module):
+    """Integer-threshold Bernoulli dropout (``BertConfig.fast_dropout``):
+    keep a unit iff its raw uint32 PRNG bits >= floor(rate * 2^32) — the
+    identical Bernoulli(rate) marginal as ``random.bernoulli`` minus the
+    bits->float conversion the VPU otherwise pays per element."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, "uint32")
+        thresh = jnp.uint32(round(self.rate * 2 ** 32))
+        return jnp.where(bits >= thresh, x * (1.0 / (1.0 - self.rate)),
+                         0).astype(x.dtype)
+
+
+def _make_dropout(cfg: BertConfig, rate: float):
+    return _FastDropout(rate) if cfg.fast_dropout else nn.Dropout(rate)
+
+
 class BertEmbeddings(nn.Module):
     """word + position + token-type embeddings -> LayerNorm -> dropout.
 
@@ -61,7 +83,7 @@ class BertEmbeddings(nn.Module):
         # float32 reductions) — keeps LN off the HBM-bandwidth critical path
         self.LayerNorm = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                                       dtype=_dtype(cfg), name="LayerNorm")
-        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.dropout = _make_dropout(cfg, cfg.hidden_dropout_prob)
 
     def __call__(self, input_ids: jnp.ndarray,
                  token_type_ids: Optional[jnp.ndarray] = None,
@@ -182,7 +204,7 @@ class BertSelfOutput(nn.Module):
         x = nn.Dense(cfg.hidden_size,
                      kernel_init=nn.initializers.normal(cfg.initializer_range),
                      dtype=_dtype(cfg), name="dense")(ctx)
-        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
+        x = _make_dropout(cfg, cfg.hidden_dropout_prob)(x, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=_dtype(cfg),
                          name="LayerNorm")(x + residual)
         return x.astype(_dtype(cfg))
@@ -200,7 +222,7 @@ class BertLayer(nn.Module):
                                      dtype=_dtype(cfg), name="intermediate")
         self.output_dense = nn.Dense(cfg.hidden_size, kernel_init=init,
                                      dtype=_dtype(cfg), name="output_dense")
-        self.output_dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.output_dropout = _make_dropout(cfg, cfg.hidden_dropout_prob)
         self.output_LayerNorm = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                                              dtype=_dtype(cfg),
                                              name="output_LayerNorm")

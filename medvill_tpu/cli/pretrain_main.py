@@ -120,6 +120,13 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU extras
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of a few steps here")
+    p.add_argument("--save_interval", type=int, default=1,
+                   help="checkpoint every N epochs (last epoch always; "
+                        "preemption saves are unaffected).  The reference "
+                        "saves per epoch (default 1); raise it when the "
+                        "epoch is short relative to the checkpoint write "
+                        "— e.g. a frozen ResNet trunk makes every save "
+                        "~100 MB of unchanged weights")
     p.add_argument("--hf_bert_checkpoint", "--bert_init_path",
                    dest="hf_bert_checkpoint", type=str, default=None,
                    help="torch state_dict (.bin/.pt) of an HF BERT to "
@@ -442,13 +449,18 @@ def train(args) -> None:
 
         # rank 0 for replicated state; every host when shards cross
         # processes (--zero1 multi-host: orbax writes per-host shards)
-        if ckpt_lib.is_saving_process(state):
+        interval = max(1, getattr(args, "save_interval", 1))
+        if ((epoch + 1) % interval == 0 or epoch + 1 == cfg.epochs) \
+                and ckpt_lib.is_saving_process(state):
             ckpt_lib.save(cfg.output_path, epoch, state, config=vars(args))
         if preempted() and epoch + 1 < cfg.epochs:
-            # preempted during eval/checkpoint: the epoch checkpoint is
-            # already complete — mark the whole epoch done so a relaunch
-            # continues at epoch + 1
+            # preempted during eval/checkpoint: mark the whole epoch done
+            # so a relaunch continues at epoch + 1 (writing the epoch
+            # checkpoint first if --save_interval skipped it)
             if ckpt_lib.is_saving_process(state):
+                if (epoch + 1) % interval != 0:
+                    ckpt_lib.save(cfg.output_path, epoch, state,
+                                  config=vars(args))
                 preempt.write_marker(cfg.output_path, epoch,
                                      len(train_loader))
             logger.info("preempted (signal %s) at epoch %d boundary; "

@@ -173,8 +173,20 @@ def restore_pretrained(state, tx, path: str, torch_loader, logger,
                 f"--{what} path {path!r} is neither a torch checkpoint "
                 "(.bin/.pth file or dir with pytorch_model.bin) nor an "
                 "orbax run dir with numbered epoch subdirs")
-        state = restore(path, epoch, state)
-        logger.info("restored %s checkpoint epoch %s", what, epoch)
+        # from_pretrained semantics: WEIGHTS only, fresh optimizer (like
+        # the torch branch above).  A full-state restore would also fail
+        # structurally whenever the pretrain run's optimizer tree differs
+        # from this run's (e.g. pretrain's grad-accum/freeze wrappers vs
+        # retrieval's bare AdamW).
+        restored = restore(path, epoch,
+                           {"params": state.params,
+                            "batch_stats": state.batch_stats},
+                           partial=True)
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"],
+                              opt_state=tx.init(restored["params"]))
+        logger.info("restored %s weights from checkpoint epoch %s "
+                    "(fresh optimizer)", what, epoch)
     return state
 
 

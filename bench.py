@@ -43,7 +43,10 @@ def bench_decode(batch: int = 8, iters: int = 3, beam: int = 1) -> None:
     from medvill_tpu.core.config import BertConfig, FinetuneConfig, \
         ImageEncoderConfig
     from medvill_tpu.models.decoder import (DecodeSettings, beam_search,
-                                            greedy_decode)
+                                            greedy_decode,
+                                            note_unrolled_decode_ran,
+                                            resolve_scan_layers,
+                                            unrolled_warm_key)
     from medvill_tpu.train import finetune as ft
 
     cfg = FinetuneConfig(
@@ -59,11 +62,19 @@ def bench_decode(batch: int = 8, iters: int = 3, beam: int = 1) -> None:
         jnp.zeros((2, L), jnp.int32), jnp.zeros((2, 1, L, L)),
         masked_pos=jnp.zeros((2, cfg.max_pred), jnp.int32),
         deterministic=True)
+    # MEDVILL_DECODE_SCAN: 1 = scan-layers, 0 = unrolled, auto (default) =
+    # unrolled exactly when its program is warm in the durable persistent
+    # cache (resolve_scan_layers) — so the OFFICIAL bench reports the fast
+    # backend's steady state once a warm-up run has cached it, without
+    # risking the round-3 cold-compile timeout
+    env_scan = os.environ.get("MEDVILL_DECODE_SCAN", "auto")
+    warm_key = unrolled_warm_key(cfg.bert, batch, beam, 128, 256)
+    scan = (resolve_scan_layers("auto", warm_key)
+            if env_scan == "auto" else env_scan != "0")
     settings = DecodeSettings(
         max_txt_length=128, mask_word_id=103,
         eos_id=-1,  # never stop: measure full length
-        beam_size=beam,
-        scan_layers=os.environ.get("MEDVILL_DECODE_SCAN", "1") != "0",
+        beam_size=beam, scan_layers=scan,
         scan_unroll=int(os.environ.get("MEDVILL_DECODE_UNROLL", "1")))
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.standard_normal(
@@ -78,6 +89,10 @@ def bench_decode(batch: int = 8, iters: int = 3, beam: int = 1) -> None:
                                                   101, 102))
     out_ids, _, _ = run(variables, image)
     _ = int(np.asarray(out_ids)[0, 0])  # host sync
+    if not scan:
+        # the unrolled program compiled + dispatched: record it warm so
+        # 'auto' runs of this config pick the fast backend from now on
+        note_unrolled_decode_ran(warm_key)
     # fence once at the end: per-iter host reads pay the remote-tunnel RTT
     t0 = time.perf_counter()
     outs = [run(variables, image)[0] for _ in range(iters)]
@@ -89,11 +104,13 @@ def bench_decode(batch: int = 8, iters: int = 3, beam: int = 1) -> None:
     dt = time.perf_counter() - t0
     toks_per_sec = batch * settings.max_txt_length * iters / dt
     mode = "greedy" if beam == 1 else f"beam {beam}"
+    backend = "scan-layers" if scan else "unrolled"
     print(json.dumps({
         "metric": "report_gen_decode_tokens_per_sec" if beam == 1
         else "report_gen_decode_tokens_per_sec_beam%d" % beam,
         "value": round(toks_per_sec, 2),
-        "unit": "tokens/sec (%s, batch %d, KV cache)" % (mode, batch),
+        "unit": "tokens/sec (%s, batch %d, KV cache, %s backend)"
+                % (mode, batch, backend),
         "vs_baseline": round(toks_per_sec / 300.0, 3),
         # denominator: ~300 tok/s is a documented estimate for the
         # reference's hidden-state-cache greedy loop on one A100
@@ -622,13 +639,15 @@ def bench_ab(cfg_a: str, cfg_b: str, reps: int = 3) -> None:
 
 def _warm_marker_path(argv: list[str]) -> str:
     """Marker file recording that this sub-mode's XLA program reached the
-    persistent compile cache once (keyed by argv + jax version: a changed
-    bench config or runtime invalidates the cache and the marker with it).
-    Round 3's official bench died because a sub-mode whose program was NOT
-    cached burned its full 900 s on a cold remote-tunnel compile."""
-    slug = "-".join(argv) + "-" + jax.__version__
-    return "/tmp/jax_cache/.medvill_warm_" + "".join(
-        c if (c.isalnum() or c in "-._") else "_" for c in slug)
+    persistent compile cache once (keyed by argv; jax version + host CPU
+    features key the *directory*, utils/jax_cache.py).  Round 3's official
+    bench died because a sub-mode whose program was NOT cached burned its
+    full 900 s on a cold remote-tunnel compile; round 4 lost 3 sub-modes
+    because the markers lived in /tmp and were wiped between sessions —
+    they now live inside the durable cache dir they vouch for."""
+    from medvill_tpu.utils import jax_cache
+
+    return jax_cache.warm_marker_path(argv)
 
 
 def _run_submode(argv: list[str], timeout_s: float):
@@ -722,13 +741,17 @@ def bench_all() -> None:
         print(f"bench: headline pretrain subprocess rc={rc}:\n{err}",
               file=sys.stderr)
 
-    # -- optional sub-modes, budget- and cache-gated
+    # -- optional sub-modes, budget- and cache-gated: ALL remaining
+    # reference workloads (SURVEY §6 config points) — greedy decode,
+    # finetune, beam-4 decode, MMBT classification, ITM retrieval
     for argv in (["decode", "32", "2"], ["finetune", "16", "6"],
-                 ["decode", "8", "2", "4"]):
+                 ["decode", "8", "2", "4"], ["classify", "24", "8", "10"],
+                 ["retrieve", "24", "8", "10"]):
         warm = os.path.exists(_warm_marker_path(argv))
-        # a warm run needs backend init + dispatch (~2-4 min worst case);
-        # a cold one pays a remote-tunnel XLA compile on top
-        need = 300.0 if warm else 800.0
+        # a warm run needs backend init + cache loads + dispatch (measured
+        # per-sub-mode in DESIGN.md §10; 240s bounds the worst observed
+        # with tunnel margin); a cold one pays a remote XLA compile on top
+        need = 240.0 if warm else 800.0
         if remaining() < need:
             print("bench: skipping sub-mode %s (%s cache, %.0fs left < "
                   "%.0fs needed)" % (" ".join(argv),
@@ -783,12 +806,10 @@ def _probe_backend(timeout_s: int = 300) -> None:
 
 
 def main() -> None:
-    import os
+    from medvill_tpu.utils import jax_cache
 
-    os.makedirs("/tmp/jax_cache", exist_ok=True)
     _probe_backend()
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax_cache.enable()
     from medvill_tpu.utils.seed import use_hardware_prng
     use_hardware_prng()  # rbg dropout keys: 220.6 vs 210.8 pairs/s paired
 

@@ -11,6 +11,16 @@ def str2bool(v):
 _str2bool = str2bool  # backwards-compat alias
 
 
+def str2bool_or_auto(v):
+    """Tri-state flag parser for --scan_layers: 'auto' | true | false.
+    'auto' defers the backend choice to
+    models/decoder.py::resolve_scan_layers (unrolled when its compiled
+    program is warm in the durable cache, scan-layers cold)."""
+    if str(v).strip().lower() == "auto":
+        return "auto"
+    return str2bool(v)
+
+
 def add_parallelism_args(p) -> None:
     """The parallelism flag pair shared by the four trainer CLIs (defined
     once so validation/help can't drift between them); wired through

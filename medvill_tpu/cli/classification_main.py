@@ -252,26 +252,36 @@ def train(args) -> None:
     lr_scale = 1.0
     guard = preempt.PreemptionGuard(logger=logger)
     _multi = jax.process_count() > 1
+    PREEMPT_POLL = preempt.POLL_EVERY
 
-    def preempted() -> bool:
+    def preempted(batch_idx: int) -> bool:
         # multi-host: every host must agree to stop at the same dispatch
-        # boundary (core/mesh.py::global_any)
-        return (global_any(mesh, guard.triggered) if _multi
-                else guard.triggered)
+        # boundary (core/mesh.py::global_any).  The collective's device
+        # read-back host-syncs the pipeline, so it only runs every
+        # PREEMPT_POLL batches — gated on the SHARED batch counter, never
+        # the local flag (all hosts must enter the collective at the same
+        # boundary or the non-flagged ones hang).  Exit latency grows by
+        # at most PREEMPT_POLL-1 dispatches; per-batch checks stay local.
+        if not _multi:
+            return guard.triggered
+        if (batch_idx + 1) % PREEMPT_POLL:
+            return False
+        return global_any(mesh, guard.triggered)
 
     with guard:
       for epoch in range(cfg.max_epochs):
         losses = []
         # prefetch + device placement overlap the running step (same
         # pipeline as the pretrain/finetune CLIs)
-        for batch, is_group in dispatch_loader(train_loader, mesh, k_disp):
+        for bi, (batch, is_group) in enumerate(
+                dispatch_loader(train_loader, mesh, k_disp)):
             train_step = train_step_for(epoch, is_group)
             state, loss = train_step(state, batch,
                                      jax.random.PRNGKey(cfg.seed),
                                      jnp.asarray(lr_scale))
             # device value — float() here would host-sync every step
             losses.append(loss)
-            if preempted():
+            if preempted(bi):
                 # graceful preemption: keep the work (classification runs
                 # are short + early-stopped, so resume is save-only — no
                 # mid-epoch position marker like pretrain/finetune)

@@ -48,13 +48,17 @@ from medvill_tpu.data.tokenization import (BertTokenizer,
                                             caption_from_ids)
 from medvill_tpu.eval.bleu import language_eval_bleu
 from medvill_tpu.models.decoder import (DecodeSettings, beam_search,
-                                        greedy_decode)
+                                        greedy_decode,
+                                        note_unrolled_decode_ran,
+                                        resolve_scan_layers,
+                                        unrolled_warm_key)
 from medvill_tpu.train import finetune as ft
 from medvill_tpu.utils.logging import MetricLogger, create_logger
 from medvill_tpu.utils.seed import set_seed
 
 
-from medvill_tpu.cli import sampling_kwargs, str2bool  # noqa: E402
+from medvill_tpu.cli import (sampling_kwargs, str2bool,  # noqa: E402
+                             str2bool_or_auto)
 
 
 def build_parser():
@@ -125,13 +129,15 @@ def build_parser():
     p.add_argument("--relax_projection", action="store_true",
                    help="decode a checkpoint finetuned with 4 task-specific "
                         "MLM-head projections (reference: finetune.py:307)")
-    p.add_argument("--scan_layers", type=str2bool, default=True,
+    p.add_argument("--scan_layers", type=str2bool_or_auto, default="auto",
                    help="run the encoder layers as one lax.scan over "
                         "stacked params (~12x smaller HLO; cold beam-4 "
                         "compile >25 min unrolled vs minutes scanned). "
                         "false = unrolled: ~1.5x faster steady-state "
                         "decode, for deployments with a warm compile "
-                        "cache (DESIGN.md §6)")
+                        "cache.  auto (default) = unrolled exactly when "
+                        "this decode program is warm in the durable "
+                        "persistent cache, scan cold (DESIGN.md §6)")
     p.add_argument("--scan_unroll", type=int, default=1,
                    help="lax.scan unroll factor for the layer loop "
                         "(measured neutral-to-slower at 3; knob kept for "
@@ -217,6 +223,12 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
     v = tokenizer.vocab
     forbid_ignore_ids = forbid_ignore_ids_from_words(
         getattr(args, "forbid_ignore_word", None), v)
+    # validate the sampling flags BEFORE touching cfg: bad flag combos must
+    # raise their ValueError even when called with a stub config
+    sampling = sampling_kwargs(args, args.beam_size)
+    warm_key = unrolled_warm_key(cfg.bert, args.batch_size, args.beam_size,
+                                 args.max_txt_length, args.len_vis_input)
+    scan_layers = resolve_scan_layers(args.scan_layers, warm_key, logger)
     settings = DecodeSettings(
         max_txt_length=args.max_txt_length, mask_word_id=v["[MASK]"],
         eos_id=v["[SEP]"], beam_size=args.beam_size,
@@ -226,8 +238,8 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
         min_len=int(getattr(args, "min_len", 0) or 0),
         forbid_ignore_ids=forbid_ignore_ids,
         window_positions=_resolve_positions(args, ckpt_kind, logger),
-        scan_layers=args.scan_layers, scan_unroll=args.scan_unroll,
-        **sampling_kwargs(args, args.beam_size))
+        scan_layers=scan_layers, scan_unroll=args.scan_unroll,
+        **sampling)
 
     def image_loader(p):
         return image_lib.load_image(os.path.join(data_dir, p),
@@ -282,6 +294,12 @@ def _decode_records(args, cfg, model, variables, tokenizer, records,
             total_nll += float((np.asarray(gt_nll)[:n_real]
                                 * mask[:n_real]).sum())
             total_tok += int(mask[:n_real].sum())
+        if start == 0 and not scan_layers:
+            # first batch decoded on the unrolled backend: its program is
+            # now in the durable persistent cache, so future 'auto' runs
+            # of this config may pick it (never marked before the first
+            # dispatch succeeds — see note_unrolled_decode_ran)
+            note_unrolled_decode_ran(warm_key)
         for i, rec in enumerate(chunk):
             caption = caption_from_ids(tokenizer, out_ids[i])
             predictions.append({"image_id": rec.get("id", str(start + i)),

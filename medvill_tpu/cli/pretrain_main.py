@@ -353,6 +353,12 @@ def train(args) -> None:
     train_loader.epoch = start_epoch
     if skip_batches:
         train_loader.skip_next(skip_batches)
+    # a consumed MID-epoch marker means <output_path>/<start_epoch>
+    # currently holds mid-epoch state under the epoch-complete naming that
+    # latest_epoch() consumers (finetune --model_recover_path, retrieval)
+    # rely on — force an end-of-epoch overwrite of that epoch even when
+    # --save_interval would skip it
+    force_save_epoch = start_epoch if skip_batches else -1
 
     guard = preempt.PreemptionGuard(logger=logger)
     _multi = jax.process_count() > 1
@@ -450,15 +456,16 @@ def train(args) -> None:
         # rank 0 for replicated state; every host when shards cross
         # processes (--zero1 multi-host: orbax writes per-host shards)
         interval = max(1, getattr(args, "save_interval", 1))
-        if ((epoch + 1) % interval == 0 or epoch + 1 == cfg.epochs) \
-                and ckpt_lib.is_saving_process(state):
+        save_now = ((epoch + 1) % interval == 0 or epoch + 1 == cfg.epochs
+                    or epoch == force_save_epoch)
+        if save_now and ckpt_lib.is_saving_process(state):
             ckpt_lib.save(cfg.output_path, epoch, state, config=vars(args))
         if preempted() and epoch + 1 < cfg.epochs:
             # preempted during eval/checkpoint: mark the whole epoch done
             # so a relaunch continues at epoch + 1 (writing the epoch
             # checkpoint first if --save_interval skipped it)
             if ckpt_lib.is_saving_process(state):
-                if (epoch + 1) % interval != 0:
+                if not save_now:
                     ckpt_lib.save(cfg.output_path, epoch, state,
                                   config=vars(args))
                 preempt.write_marker(cfg.output_path, epoch,

@@ -241,24 +241,32 @@ def run_retrieval(args, cfg, mesh, model, tx, state, tokenizer, make_train,
             score_step = jax.jit(make_score(model, cfg))
         guard = preempt.PreemptionGuard(logger=logger)
         _multi = jax.process_count() > 1
+        PREEMPT_POLL = preempt.POLL_EVERY
 
-        def preempted() -> bool:
+        def preempted(batch_idx: int) -> bool:
             # multi-host: every host must agree to stop at the same
-            # dispatch boundary (core/mesh.py::global_any)
-            return (global_any(mesh, guard.triggered) if _multi
-                    else guard.triggered)
+            # dispatch boundary (core/mesh.py::global_any).  Collective
+            # poll every PREEMPT_POLL batches, gated on the SHARED batch
+            # counter (not the local flag — every host must enter the
+            # collective at the same boundary); per-batch checks would
+            # host-sync the pipeline each step.
+            if not _multi:
+                return guard.triggered
+            if (batch_idx + 1) % PREEMPT_POLL:
+                return False
+            return global_any(mesh, guard.triggered)
 
         with guard:
           for epoch in range(cfg.epochs):
             losses, accs = [], []
-            for batch, is_group in dispatch_loader(pair_iter(epoch), mesh,
-                                                   k_disp):
+            for bi, (batch, is_group) in enumerate(
+                    dispatch_loader(pair_iter(epoch), mesh, k_disp)):
                 step = multi_step if is_group else train_step
                 state, m = step(state, batch, jax.random.PRNGKey(cfg.seed))
                 # device values — float() here would host-sync every step
                 losses.append(m["loss"])
                 accs.append(m["acc"])
-                if preempted():
+                if preempted(bi):
                     # graceful preemption: keep the work (save-only, like
                     # classification — retrieval pairs are resampled per
                     # epoch so there is no replayable mid-epoch position)

@@ -38,14 +38,17 @@ import time
 
 import numpy as np
 
-from medvill_tpu.cli import sampling_kwargs, str2bool
+from medvill_tpu.cli import sampling_kwargs, str2bool, str2bool_or_auto
 from medvill_tpu.core import checkpoint as ckpt_lib
 from medvill_tpu.core.config import (BertConfig, FinetuneConfig,
                                      ImageEncoderConfig)
 from medvill_tpu.data import images as image_lib
 from medvill_tpu.data.tokenization import BertTokenizer, caption_from_ids
 from medvill_tpu.models.decoder import (DecodeSettings, beam_search,
-                                        greedy_decode)
+                                        greedy_decode,
+                                        note_unrolled_decode_ran,
+                                        resolve_scan_layers,
+                                        unrolled_warm_key)
 from medvill_tpu.train import finetune as ft
 from medvill_tpu.utils.logging import create_logger
 from medvill_tpu.utils.seed import set_seed
@@ -80,11 +83,13 @@ def build_parser():
     p.add_argument("--forbid_duplicate_ngrams", type=str2bool, default=False)
     p.add_argument("--ngram_size", type=int, default=3)
     p.add_argument("--min_len", type=int, default=0)
-    p.add_argument("--scan_layers", type=str2bool, default=True,
+    p.add_argument("--scan_layers", type=str2bool_or_auto, default="auto",
                    help="lax.scan over stacked layer params (fast cold "
                         "compile); false = unrolled, ~1.5x faster "
                         "steady-state decode for servers with a warm "
-                        "compile cache (DESIGN.md §6)")
+                        "compile cache; auto (default) = unrolled exactly "
+                        "when this decode program is warm in the durable "
+                        "persistent cache (DESIGN.md §6)")
     p.add_argument("--scan_unroll", type=int, default=1)
     p.add_argument("--max_txt_length", type=int, default=128)
     p.add_argument("--len_vis_input", type=int, default=256)
@@ -165,6 +170,9 @@ def build_engine(args, logger):
                 args.model_recover_path)
 
     v = tokenizer.vocab
+    warm_key = unrolled_warm_key(cfg.bert, args.batch_size, args.beam_size,
+                                 args.max_txt_length, args.len_vis_input)
+    scan_layers = resolve_scan_layers(args.scan_layers, warm_key, logger)
     settings = DecodeSettings(
         max_txt_length=args.max_txt_length, mask_word_id=v["[MASK]"],
         eos_id=v["[SEP]"], beam_size=args.beam_size,
@@ -173,7 +181,7 @@ def build_engine(args, logger):
         ngram_size=args.ngram_size, min_len=args.min_len,
         new_segment_ids=args.new_segment_ids,
         window_positions=_resolve_positions(args, ckpt_kind, logger),
-        scan_layers=args.scan_layers, scan_unroll=args.scan_unroll,
+        scan_layers=scan_layers, scan_unroll=args.scan_unroll,
         **sampling_kwargs(args, args.beam_size))
 
     # variables must be a jit ARGUMENT, not a closure capture: captured
@@ -200,6 +208,20 @@ def build_engine(args, logger):
         run_g = jax.jit(lambda vs, im: greedy_decode(
             model, vs, im, settings, v["[CLS]"], v["[SEP]"])[0])
         run = lambda im: np.asarray(run_g(live["variables"], im))
+
+    if not scan_layers:
+        # first completed batch on the unrolled backend -> record that its
+        # program reached the durable persistent cache, so later 'auto'
+        # servers of this config start on the fast backend (marked only
+        # after a successful dispatch; see note_unrolled_decode_ran)
+        inner_run, _noted = run, []
+
+        def run(im, _inner=inner_run):  # noqa: F811
+            out = _inner(im)
+            if not _noted:
+                note_unrolled_decode_ran(warm_key)
+                _noted.append(True)
+            return out
 
     def reload_weights(path: str) -> str:
         """Hot-swap the served weights (e.g. a fresher finetune epoch).

@@ -249,13 +249,15 @@ def global_any(mesh: Mesh, flag: bool) -> bool:
         return bool(flag)
     import jax.numpy as jnp
 
-    key = (id(mesh), mesh.axis_names)
-    cached = _GLOBAL_ANY_CACHE.get(key)
+    # keyed on the Mesh itself (Mesh is hashable by value): an id() key
+    # could silently alias a garbage-collected mesh whose id was reused by
+    # a new Mesh with different devices/axes
+    cached = _GLOBAL_ANY_CACHE.get(mesh)
     if cached is None:
         sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         rep = NamedSharding(mesh, P())
         reduce = jax.jit(jnp.max, out_shardings=rep)
-        _GLOBAL_ANY_CACHE[key] = (sharding, reduce)
+        _GLOBAL_ANY_CACHE[mesh] = (sharding, reduce)
     else:
         sharding, reduce = cached
     local = np.full((jax.local_device_count(),), 1.0 if flag else 0.0,

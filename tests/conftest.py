@@ -24,10 +24,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: the CI box has 1 CPU core, so re-compiles
-# dominate test time without it
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# dominate test time without it.  Machine-keyed durable dir (NOT
+# /tmp/jax_cache): a cache shared across machines loaded foreign-ISA AOT
+# entries (XLA SIGILL warning) and made an equivalence test order-dependent
+# (VERDICT r4) — utils/jax_cache keys the dir by CPU features + jax version.
+from medvill_tpu.utils import jax_cache  # noqa: E402
+
+jax_cache.enable()
 try:
     from jax._src import xla_bridge as _xb
 

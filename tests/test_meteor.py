@@ -162,3 +162,49 @@ def test_language_eval_fallback_reports_full_key_set():
     assert set(out) >= {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
                         "METEOR", "ROUGE_L", "CIDEr"}
     assert 0.0 < out["METEOR"] <= 1.0
+
+
+def test_divergence_bound():
+    """meteor_divergence_bound quantifies the documented synonym/
+    paraphrase divergence (VERDICT r4 item 6): a hard per-corpus cap on
+    what the jar's omitted modules could add, for ANY table contents."""
+    from medvill_tpu.eval.meteor import meteor_divergence_bound
+
+    # identical sentences: exact matching saturates, cap must be 0
+    out = meteor_divergence_bound(["the lungs are clear ."],
+                                  [["the lungs are clear ."]])
+    assert out["bound"] == pytest.approx(0.0, abs=1e-12)
+    assert out["upper"] == pytest.approx(out["lower"], abs=1e-12)
+
+    # the docstring's synonym-prone radiology sample: lower 0.307, cap
+    # 0.471 (locks the numbers the module docstring cites)
+    pairs = [
+        ("the heart size is normal .",
+         ["heart size is within normal limits ."]),
+        ("no acute cardiopulmonary abnormality .",
+         ["no acute cardiopulmonary process ."]),
+        ("there is no pleural effusion or pneumothorax .",
+         ["no pneumothorax or pleural effusion is seen ."]),
+        ("the lungs are clear .",
+         ["lungs are clear without focal consolidation ."]),
+        ("cardiomegaly is present .", ["the heart is enlarged ."]),
+        ("mild pulmonary edema .", ["mild interstitial edema is noted ."]),
+        ("no focal consolidation .",
+         ["there is no focal airspace disease ."]),
+        ("stable appearance of the chest .",
+         ["the chest is stable in appearance ."]),
+        ("small right pleural effusion .",
+         ["there is a small right sided pleural effusion ."]),
+        ("the mediastinum is unremarkable .",
+         ["mediastinal contours are unremarkable ."]),
+        ("degenerative changes of the spine .",
+         ["degenerative changes are seen in the thoracic spine ."]),
+        ("no evidence of pneumonia .",
+         ["no radiographic evidence of pneumonia ."]),
+    ]
+    out = meteor_divergence_bound([h for h, _ in pairs],
+                                  [r for _, r in pairs])
+    assert out["lower"] == pytest.approx(0.3073, abs=5e-4)
+    assert out["upper"] == pytest.approx(0.4708, abs=5e-4)
+    # the bound is monotone: upper >= lower always
+    assert out["upper"] >= out["lower"]

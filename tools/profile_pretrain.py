@@ -31,9 +31,8 @@ def run_step_under_trace(batch: int, mode: str) -> None:
     from medvill_tpu.train import optim
     from medvill_tpu.train.pretrain import init_state, make_train_step
 
-    os.makedirs("/tmp/jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from medvill_tpu.utils import jax_cache
+    jax_cache.enable()  # durable machine-keyed persistent compile cache
 
     remat = mode in ("remat", "rematall")
     cfg = PretrainConfig(

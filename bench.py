@@ -380,7 +380,8 @@ def bench_pretrain(batch: int = 48, steps: int = 120, mode: str = "k60",
     import dataclasses
 
     tokens = [t for t in mode.split(",") if t]
-    known = {"remat", "rematall", "noremat", "fuse", "nos2d", "fastdrop"}
+    known = {"remat", "rematall", "noremat", "fuse", "nos2d", "fastdrop",
+             "fusedln"}
     for t in tokens:
         if t not in known and not (
                 (t.startswith("k") and t[1:].isdigit())
@@ -415,7 +416,8 @@ def bench_pretrain(batch: int = 48, steps: int = 120, mode: str = "k60",
         # passed for an A/B; matches the BertConfig.fused_qkv=False default
         bert=dataclasses.replace(BertConfig.base(), remat=remat,
                                  fused_qkv="fuse" in tokens,
-                                 fast_dropout="fastdrop" in tokens),
+                                 fast_dropout="fastdrop" in tokens,
+                                 fused_ln="fusedln" in tokens),
         image=ImageEncoderConfig(img_size=512, num_image_embeds=180,
                                  remat_blocks=remat_blocks,
                                  s2d_stem="nos2d" not in tokens),

@@ -77,6 +77,13 @@ class BertConfig:
     # the VPU.  A different stream mapping (dropout is not bit-matched to
     # the reference in any mode); perf A/B knob, off by default.
     fast_dropout: bool = False
+    # fuse each encoder block's (dropout + residual-add + LayerNorm)
+    # elementwise chain into ONE Pallas kernel (ops/fused_ln.py): one
+    # VMEM-resident pass instead of XLA's separate mask-gen/add/two-pass
+    # LN re-touching the [B*L, H] activation in HBM.  Param tree unchanged
+    # (scale/bias names match nn.LayerNorm).  Perf A/B knob — measurement
+    # ledger in DESIGN.md §10.3.
+    fused_ln: bool = False
     # relax_projection>1: the MLM-head transform emits that many stacked
     # task-specific projections, selected per sample by task_idx (reference:
     # sc/pytorch_pretrained_bert/model.py:435-496; finetune.py:307-319 sets 4

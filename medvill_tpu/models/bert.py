@@ -195,6 +195,33 @@ class BertSelfAttention(nn.Module):
         return ctx.reshape(B, L, cfg.hidden_size), new_cache
 
 
+class FusedDropAddLN(nn.Module):
+    """(dropout + residual-add + LayerNorm) as ONE Pallas kernel
+    (``ops/fused_ln.py``), selected by ``BertConfig.fused_ln``.  Parameter
+    names (scale/bias) and shapes match ``nn.LayerNorm`` exactly, so
+    checkpoints are interchangeable with the unfused stack."""
+    config: BertConfig
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, res, deterministic=True):
+        from medvill_tpu.ops.fused_ln import fused_dropout_add_ln
+
+        cfg = self.config
+        h = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (h,))
+        bias = self.param("bias", nn.initializers.zeros, (h,))
+        rate = 0.0 if deterministic else float(self.rate)
+        if rate > 0.0:
+            seed = jax.random.bits(self.make_rng("dropout"), (),
+                                   jnp.uint32).astype(jnp.int32)
+        else:
+            seed = jnp.int32(0)
+        y = fused_dropout_add_ln(x, res, scale, bias, rate=rate,
+                                 eps=cfg.layer_norm_eps, seed=seed)
+        return y.astype(_dtype(cfg))
+
+
 class BertSelfOutput(nn.Module):
     config: BertConfig
 
@@ -204,6 +231,10 @@ class BertSelfOutput(nn.Module):
         x = nn.Dense(cfg.hidden_size,
                      kernel_init=nn.initializers.normal(cfg.initializer_range),
                      dtype=_dtype(cfg), name="dense")(ctx)
+        if cfg.fused_ln:
+            return FusedDropAddLN(cfg, cfg.hidden_dropout_prob,
+                                  name="LayerNorm")(
+                x, residual, deterministic=deterministic)
         x = _make_dropout(cfg, cfg.hidden_dropout_prob)(x, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=_dtype(cfg),
                          name="LayerNorm")(x + residual)
@@ -222,10 +253,15 @@ class BertLayer(nn.Module):
                                      dtype=_dtype(cfg), name="intermediate")
         self.output_dense = nn.Dense(cfg.hidden_size, kernel_init=init,
                                      dtype=_dtype(cfg), name="output_dense")
-        self.output_dropout = _make_dropout(cfg, cfg.hidden_dropout_prob)
-        self.output_LayerNorm = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
-                                             dtype=_dtype(cfg),
-                                             name="output_LayerNorm")
+        if cfg.fused_ln:
+            self.output_fused = FusedDropAddLN(cfg, cfg.hidden_dropout_prob,
+                                               name="output_LayerNorm")
+        else:
+            self.output_dropout = _make_dropout(cfg,
+                                                cfg.hidden_dropout_prob)
+            self.output_LayerNorm = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                                                 dtype=_dtype(cfg),
+                                                 name="output_LayerNorm")
 
     def ffn(self, attn_out, deterministic=True):
         inter = self.intermediate(attn_out)
@@ -236,6 +272,9 @@ class BertLayer(nn.Module):
         # in fp16 under apex AMP, finetune.py:297-301)
         inter = jax.nn.gelu(inter, approximate=False)
         out = self.output_dense(inter)
+        if self.config.fused_ln:
+            return self.output_fused(out, attn_out,
+                                     deterministic=deterministic)
         out = self.output_dropout(out, deterministic=deterministic)
         return self.output_LayerNorm(out + attn_out).astype(
             _dtype(self.config))

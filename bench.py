@@ -34,6 +34,27 @@ A100_EQUIV_PAIRS_PER_SEC = 70.0
 _T0 = time.monotonic()   # process start, for bench_all's global budget
 
 
+def _maybe_trace():
+    """``MEDVILL_BENCH_TRACE=<dir>``: capture a jax.profiler device trace of
+    the timed loop (tools/profile_workload.py sets it and parses the xplane
+    into the per-module time split that drives the DESIGN.md ledgers)."""
+    import contextlib
+
+    d = os.environ.get("MEDVILL_BENCH_TRACE")
+
+    @contextlib.contextmanager
+    def cm():
+        if d:
+            jax.profiler.start_trace(d)
+        try:
+            yield
+        finally:
+            if d:
+                jax.profiler.stop_trace()
+
+    return cm()
+
+
 def bench_decode(batch: int = 8, iters: int = 3, beam: int = 1) -> None:
     """Report-generation decode tokens/sec (the second north-star metric):
     KV-cached greedy (beam=1) or beam-search decode, BERT-base VLP, 256
@@ -189,15 +210,16 @@ def bench_finetune(batch: int = 16, iters: int = 8, k: int = 15) -> None:
     # float(aux["loss"]) host read serializes dispatch on the remote-tunnel
     # RTT (~26-60 ms/step, session-dependent) and measures the tunnel, not
     # the chip — observed as a spurious 136 -> 104 pairs/s "regression"
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, aux = step(state, dev_batch, jax.random.PRNGKey(1))
-    # fence with a host READ of the last loss (dispatches chain through the
-    # donated state, so this retires every step): block_until_ready returns
-    # before execution retires on this platform and would under-time the
-    # run (see bench_pretrain's fence)
-    _ = float(np.asarray(aux["loss"]).reshape(-1)[-1])
-    dt = time.perf_counter() - t0
+    with _maybe_trace():
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, aux = step(state, dev_batch, jax.random.PRNGKey(1))
+        # fence with a host READ of the last loss (dispatches chain through
+        # the donated state, so this retires every step): block_until_ready
+        # returns before execution retires on this platform and would
+        # under-time the run (see bench_pretrain's fence)
+        _ = float(np.asarray(aux["loss"]).reshape(-1)[-1])
+        dt = time.perf_counter() - t0
     pairs_per_sec = batch * iters * k / dt
     print(json.dumps({
         "metric": "finetune_reportgen_pairs_per_sec_per_chip",
@@ -269,11 +291,12 @@ def bench_classify(batch: int = 24, iters: int = 8, k: int = 10,
     one = jnp.asarray(1.0)
     state, loss = step(state, dev_batch, jax.random.PRNGKey(1), one)
     _ = float(np.asarray(loss).reshape(-1)[-1])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss = step(state, dev_batch, jax.random.PRNGKey(1), one)
-    _ = float(np.asarray(loss).reshape(-1)[-1])   # end-of-run fence
-    dt = time.perf_counter() - t0
+    with _maybe_trace():
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss = step(state, dev_batch, jax.random.PRNGKey(1), one)
+        _ = float(np.asarray(loss).reshape(-1)[-1])   # end-of-run fence
+        dt = time.perf_counter() - t0
     rate = batch * iters * k / dt
     print(json.dumps({
         "metric": "classification_images_per_sec_per_chip",
@@ -337,11 +360,12 @@ def bench_retrieve(batch_pairs: int = 24, iters: int = 8, k: int = 10
     dev_batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
     state, m = step(state, dev_batch, jax.random.PRNGKey(1))
     _ = float(np.asarray(m["loss"]).reshape(-1)[-1])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, dev_batch, jax.random.PRNGKey(1))
-    _ = float(np.asarray(m["loss"]).reshape(-1)[-1])   # end-of-run fence
-    dt = time.perf_counter() - t0
+    with _maybe_trace():
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, dev_batch, jax.random.PRNGKey(1))
+        _ = float(np.asarray(m["loss"]).reshape(-1)[-1])  # end-of-run fence
+        dt = time.perf_counter() - t0
     rate = batch_pairs * iters * k / dt
     print(json.dumps({
         "metric": "retrieval_pairs_per_sec_per_chip",

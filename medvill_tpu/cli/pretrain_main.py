@@ -395,8 +395,10 @@ def train(args) -> None:
             if preempted():
                 # graceful preemption: checkpoint the post-step state,
                 # record the host-batch position, exit 0.  A relaunch of
-                # the same command resumes here (bit-exact with workers>1
-                # derived-RNG loading; see utils/preempt.py)
+                # the same command resumes here bit-exact at any worker
+                # count (workers>1: derived per-sample RNG; workers=1:
+                # skip_next replays the shared stream — see
+                # BatchLoader.skip_next / utils/preempt.py)
                 jax.block_until_ready(m["loss"])
                 if ckpt_lib.is_saving_process(state):
                     ckpt_lib.save(cfg.output_path, epoch, state,

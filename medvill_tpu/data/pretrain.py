@@ -62,16 +62,22 @@ class CXRPretrainDataset:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         return self.fetch(idx)
 
-    def fetch(self, idx: int,
-              rng: Optional[random.Random] = None) -> Dict[str, np.ndarray]:
+    def fetch(self, idx: int, rng: Optional[random.Random] = None,
+              load_image: bool = True) -> "Dict[str, np.ndarray] | None":
         """Like ``__getitem__`` but with an optional per-sample RNG override
         (used by ``BatchLoader(workers>1)`` so parallel fetches stay
         deterministic; ``None`` draws from the shared sequential stream —
-        the mode the RNG-parity tests pin down)."""
+        the mode the RNG-parity tests pin down).
+
+        ``load_image=False`` is the mid-epoch-resume replay path
+        (``BatchLoader.skip_next`` with ``workers=1``): it consumes the
+        IDENTICAL shared-stream RNG draws as a real fetch — pair sampling,
+        whole-word masking, mask-variant choice — but skips the image IO
+        (which consumes no RNG) and returns ``None``, so a resumed run's
+        remaining samples are bit-exact vs an uninterrupted epoch."""
         rng = rng or self.rng
         origin_txt, img_path, is_aligned, _itm_prob = random_pair_sampling(
             idx, self.data, rng)
-        image = self.image_loader(img_path)
 
         encoded = self.tokenizer.tokenize_to_ids(origin_txt)
         truncate_txt(encoded, self.seq_len)
@@ -104,6 +110,12 @@ class CXRPretrainDataset:
                        if rng.random() < self.cfg.bi_prob else MaskVariant.S2S)
         else:
             variant = self.static_variant
+
+        # all RNG draws are done; the image load consumes none (moved after
+        # the draws so the replay path below skips only IO)
+        if not load_image:
+            return None
+        image = self.image_loader(img_path)
 
         return dict(
             cls_tok=np.array([self.vocab["[CLS]"]], np.int32),
@@ -183,9 +195,12 @@ class BatchLoader:
         are identical to an uninterrupted epoch's tail; with ``workers>1``
         over a ``fetch(idx, rng)`` dataset the sample contents are too
         (per-sample RNG derives from (seed, epoch, idx)).  With
-        ``workers=1`` the dataset's shared sequential RNG stream is NOT
-        replayed for the skipped batches, so resume is valid but not
-        bit-identical to the uninterrupted run."""
+        ``workers=1`` the shared sequential RNG stream is replayed for the
+        skipped samples via ``fetch(idx, load_image=False)`` — identical
+        draws, no image IO — so resume is bit-exact there too (replay cost:
+        re-tokenizing the skipped prefix, ~ms per thousand samples on the
+        native wordpiece path).  Datasets without that keyword fall back to
+        position-only skip (valid, not bit-identical)."""
         self._skip = int(n_batches)
 
     def __len__(self) -> int:
@@ -225,6 +240,23 @@ class BatchLoader:
             order = order[self.shard_index::self.num_shards]
         B = self.batch_size
         start, self._skip = self._skip, 0
+        if start and self.workers <= 1:
+            # workers=1 draws from the dataset's SHARED sequential RNG
+            # stream; replay the skipped samples' draws (image IO skipped)
+            # so the resumed tail is bit-exact vs an uninterrupted epoch.
+            # workers>1 needs no replay: per-sample RNG is (seed,epoch,idx).
+            fetch = getattr(self.dataset, "fetch", None)
+            if fetch is not None:
+                import inspect
+
+                try:
+                    replayable = ("load_image"
+                                  in inspect.signature(fetch).parameters)
+                except (TypeError, ValueError):
+                    replayable = False
+                if replayable:
+                    for j in order[:start * B]:
+                        fetch(int(j), load_image=False)
         for i in range(start, len(self)):
             idxs = order[i * B:(i + 1) * B]
             yield collate(self._fetch(idxs))

@@ -152,10 +152,13 @@ class Img2TxtDataset:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         return self.fetch(idx)
 
-    def fetch(self, idx: int,
-              rng: Optional[random.Random] = None) -> Dict[str, np.ndarray]:
+    def fetch(self, idx: int, rng: Optional[random.Random] = None,
+              load_image: bool = True) -> "Dict[str, np.ndarray] | None":
         """``__getitem__`` with an optional per-sample RNG override (see
-        ``BatchLoader(workers>1)``)."""
+        ``BatchLoader(workers>1)``).  ``load_image=False`` is the
+        mid-epoch-resume RNG replay path (``BatchLoader.skip_next``,
+        workers=1): identical pipeline-choice + masking draws, no image IO,
+        returns ``None``."""
         rec = self.data[idx]
         text = rec["text"]
         tokens_b = (text if self.pretokenized
@@ -163,6 +166,8 @@ class Img2TxtDataset:
         proc = (rng or self.rng).choices(self.pipelines,
                                          weights=self.probs)[0]
         out = proc(tokens_b, rng=rng)
+        if not load_image:
+            return None
         out["image"] = image_lib.as_wire_image(self.image_loader(rec["img"]))
         return out
 

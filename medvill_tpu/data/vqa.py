@@ -120,16 +120,21 @@ class VQADataset:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         return self.fetch(idx)
 
-    def fetch(self, idx: int,
-              rng: Optional[random.Random] = None) -> Dict[str, np.ndarray]:
+    def fetch(self, idx: int, rng: Optional[random.Random] = None,
+              load_image: bool = True) -> "Dict[str, np.ndarray] | None":
         """``__getitem__`` with an optional per-sample RNG override (see
-        ``BatchLoader(workers>1)``)."""
+        ``BatchLoader(workers>1)``).  ``load_image=False`` is the
+        mid-epoch-resume RNG replay path (``BatchLoader.skip_next``,
+        workers=1): identical pipeline-choice + masking draws, no image IO,
+        returns ``None``."""
         e = self.entries[idx]
         q_tokens = self.tokenizer.tokenize(
             preprocess_question(e["question"]))
         proc = (rng or self.rng).choices(self.pipelines,
                                          weights=self.probs)[0]
         out = proc(q_tokens, rng=rng)
+        if not load_image:
+            return None
         out["image"] = image_lib.as_wire_image(self.image_loader(e["image_name"]))
         out["ans_target"] = soft_target(e.get("answer"),
                                         self.cfg.vqa_num_answers)

@@ -93,9 +93,17 @@ def _bwd_kernel(seed_ref, x_ref, res_ref, g_ref, dy_ref, dx_ref, dres_ref,
     else:
         ds_x = ds
     dx_ref[...] = ds_x.astype(dx_ref.dtype)
-    # per-block partial parameter grads (summed outside the kernel)
-    dg_ref[...] = jnp.sum(dy * xhat, axis=0, keepdims=True)
-    db_ref[...] = jnp.sum(dy, axis=0, keepdims=True)
+    # per-block partial parameter grads, summed outside the kernel.  TPU
+    # lowering requires output blocks with sublane dim divisible by 8, so
+    # each block owns an (8, H) slab: partial in row 0, zeros elsewhere
+    # (the outside sum stays exact under any reduction order).
+    row = jax.lax.broadcasted_iota(jnp.int32, dg_ref.shape, 0)
+    dg = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    db = jnp.sum(dy, axis=0, keepdims=True)
+    dg_ref[...] = jnp.where(row == 0, jnp.broadcast_to(dg, dg_ref.shape),
+                            0.0)
+    db_ref[...] = jnp.where(row == 0, jnp.broadcast_to(db, db_ref.shape),
+                            0.0)
 
 
 def _pad_rows(a, rp):
@@ -146,7 +154,9 @@ def _core_bwd(rate, eps, saved, dy):
     # padded dy rows are zero, so they contribute nothing to dgamma/dbeta
     xp, resp, dyp = _pad_rows(x, rp), _pad_rows(res, rp), _pad_rows(dy, rp)
     row, vec, n_blocks = _specs(rp, h)
-    part = pl.BlockSpec((1, h), lambda i, *_: (i, 0),
+    # (8, h) slab per block — TPU tiling needs sublane dim % 8 == 0; the
+    # kernel writes the partial into slab row 0 only
+    part = pl.BlockSpec((8, h), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(n_blocks,),
@@ -157,8 +167,8 @@ def _core_bwd(rate, eps, saved, dy):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((rp, h), x.dtype),
                    jax.ShapeDtypeStruct((rp, h), res.dtype),
-                   jax.ShapeDtypeStruct((n_blocks, h), jnp.float32),
-                   jax.ShapeDtypeStruct((n_blocks, h), jnp.float32)],
+                   jax.ShapeDtypeStruct((8 * n_blocks, h), jnp.float32),
+                   jax.ShapeDtypeStruct((8 * n_blocks, h), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=16 * rp * h, transcendentals=rp,
             bytes_accessed=5 * rp * h * x.dtype.itemsize),

@@ -232,25 +232,34 @@ def bench_finetune(batch: int = 16, iters: int = 8, k: int = 15) -> None:
 
 
 def bench_classify(batch: int = 24, iters: int = 8, k: int = 10,
-                   n_classes: int = 15) -> None:
+                   n_classes: int = 15, mode: str = "") -> None:
     """MMBT classification train-step throughput (images/sec/chip) at the
     reference config point: BERT-base, 256 image embeds @512px, max_seq 512,
     weighted BCE, BertAdam (reference: mmbt/main.py:26-27,87 — batch 56 on
-    2 GPUs there).  Not in the default driver set; run
-    ``python bench.py classify [batch] [iters] [k]``."""
+    2 GPUs there).  Run ``python bench.py classify [batch] [iters] [k]
+    [mode]``; mode tokens: ``remat`` / ``noremat`` override the batch>24
+    encoder-remat heuristic, ``rematall`` adds ResNet bottleneck-block
+    remat (tuning-ledger knobs, DESIGN.md §10.4)."""
     import dataclasses
 
     from medvill_tpu.core.config import (BertConfig, ClassificationConfig,
                                          ImageEncoderConfig)
     from medvill_tpu.train import classify
 
+    tokens = [t for t in mode.split(",") if t]
+    for t in tokens:
+        if t not in {"remat", "noremat", "rematall", "freeze"}:
+            raise SystemExit(f"unknown classify mode token {t!r}")
+    remat = (("remat" in tokens or "rematall" in tokens)
+             or (batch > 24 and "noremat" not in tokens))
     bert = dataclasses.replace(
-        BertConfig.from_name("bert-base-scratch", 30522), remat=batch > 24)
+        BertConfig.from_name("bert-base-scratch", 30522), remat=remat)
     cfg = ClassificationConfig(
         bert=bert, batch_size=batch, max_seq_len=512, num_image_embeds=256,
         img_size=512,
         image=ImageEncoderConfig(num_image_embeds=256, img_size=512,
-                                 encoder="full-fiber"))
+                                 encoder="full-fiber",
+                                 remat_blocks="rematall" in tokens))
     model = classify.build_model(cfg, n_classes)
     L = cfg.max_seq_len - cfg.num_image_embeds
     cls_id, sep_id = 101, 102
@@ -278,15 +287,21 @@ def bench_classify(batch: int = 24, iters: int = 8, k: int = 10,
                        opt_state=tx.init(variables["params"]))
     pw = np.ones(n_classes, np.float32)
     k = max(1, k)
+    # "freeze" = the CLI's --freeze_img phase (trainer's own stop-grad +
+    # zeroed-update path): a DIAGNOSTIC config isolating the trainable-
+    # trunk conv backward's share of the step (DESIGN.md §10.4), and the
+    # real speed a user gets during frozen-image epochs
+    frz = (("freeze" in tokens), False)
     if k > 1:
         # the trainer's own multi-step composition — benching a private
         # re-composition could silently drift from what the CLI runs
         step = jax.jit(classify.make_multi_train_step(
             model, tx, cfg, 10000, pw, cls_id, sep_id, k,
-            reuse_batch=True), donate_argnums=(0,))
+            freeze=frz, reuse_batch=True), donate_argnums=(0,))
     else:
         step = jax.jit(classify.make_train_step(
-            model, tx, cfg, 10000, pw, cls_id, sep_id), donate_argnums=(0,))
+            model, tx, cfg, 10000, pw, cls_id, sep_id, freeze=frz),
+            donate_argnums=(0,))
     dev_batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
     one = jnp.asarray(1.0)
     state, loss = step(state, dev_batch, jax.random.PRNGKey(1), one)
@@ -308,14 +323,17 @@ def bench_classify(batch: int = 24, iters: int = 8, k: int = 10,
     }))
 
 
-def bench_retrieve(batch_pairs: int = 24, iters: int = 8, k: int = 10
-                   ) -> None:
+def bench_retrieve(batch_pairs: int = 24, iters: int = 8, k: int = 60,
+                   mode: str = "") -> None:
     """Retrieval (ITM) train-step throughput at the reference config point:
     CXRBERT joint encoder, 180 image embeds @512px, seq 253, pos+neg pairs
     concatenated on batch (reference: full_dset_retrieval.py:14,357-380 —
     batch 70 on 4 GPUs).  ``batch_pairs`` counts (pos, neg) PAIRS; the
-    device batch is 2x that many rows.  Not in the default driver set; run
-    ``python bench.py retrieve [pairs] [iters] [k]``."""
+    device batch is 2x that many rows.  Run ``python bench.py retrieve
+    [pairs] [iters] [k] [mode]``; mode token ``remat`` checkpoints the
+    encoder layers (for large-pair sweeps, DESIGN.md §10.4)."""
+    import dataclasses
+
     from medvill_tpu.core.config import (BertConfig, ImageEncoderConfig,
                                          MaskVariant, RetrievalConfig)
     from medvill_tpu.models import resnet as resnet_lib
@@ -323,8 +341,14 @@ def bench_retrieve(batch_pairs: int = 24, iters: int = 8, k: int = 10
     from medvill_tpu.train.pretrain import init_state, TrainState
     from medvill_tpu.core.config import PretrainConfig
 
+    tokens = [t for t in mode.split(",") if t]
+    for t in tokens:
+        if t not in {"remat", "noremat"}:
+            raise SystemExit(f"unknown retrieve mode token {t!r}")
     cfg = RetrievalConfig(
-        bert=BertConfig.from_name("bert-base-scratch", 30522),
+        bert=dataclasses.replace(
+            BertConfig.from_name("bert-base-scratch", 30522),
+            remat="remat" in tokens),
         batch_size=batch_pairs, seq_len=253, img_size=512,
         image=ImageEncoderConfig(num_image_embeds=180, img_size=512))
     model = retrieve.build_model(cfg)
@@ -772,7 +796,7 @@ def bench_all() -> None:
     # finetune, beam-4 decode, MMBT classification, ITM retrieval
     for argv in (["decode", "32", "2"], ["finetune", "16", "6"],
                  ["decode", "8", "2", "4"], ["classify", "24", "8", "10"],
-                 ["retrieve", "24", "8", "10"]):
+                 ["retrieve", "24", "8", "60"]):
         warm = os.path.exists(_warm_marker_path(argv))
         # a warm run needs backend init + cache loads + dispatch (measured
         # per-sub-mode in DESIGN.md §10; 240s bounds the worst observed
@@ -855,13 +879,15 @@ def main() -> None:
     if cmd == "classify":
         bench_classify(batch=int(sys.argv[2]) if len(sys.argv) > 2 else 24,
                        iters=int(sys.argv[3]) if len(sys.argv) > 3 else 8,
-                       k=int(sys.argv[4]) if len(sys.argv) > 4 else 10)
+                       k=int(sys.argv[4]) if len(sys.argv) > 4 else 10,
+                       mode=sys.argv[5] if len(sys.argv) > 5 else "")
         return
     if cmd == "retrieve":
         bench_retrieve(
             batch_pairs=int(sys.argv[2]) if len(sys.argv) > 2 else 24,
             iters=int(sys.argv[3]) if len(sys.argv) > 3 else 8,
-            k=int(sys.argv[4]) if len(sys.argv) > 4 else 10)
+            k=int(sys.argv[4]) if len(sys.argv) > 4 else 60,
+            mode=sys.argv[5] if len(sys.argv) > 5 else "")
         return
     if cmd == "ab":
         bench_ab(sys.argv[2], sys.argv[3],

@@ -126,7 +126,14 @@ def test_vjp_consistent_with_fixed_mask():
     eps_fd = 1e-3
     fd = (f(x + eps_fd * v) - f(x - eps_fd * v)) / (2 * eps_fd)
     got = float(jnp.vdot(g, v))
-    assert got == pytest.approx(float(fd), rel=2e-3, abs=2e-3)
+    # tolerance is set by the f32 CANCELLATION in the central difference,
+    # not by VJP quality: |f| ~ 1e2, so ulp(f)/eps_fd ~ 6e-3 absolute —
+    # and XLA may fuse f's reduction differently between the grad and
+    # eval programs depending on compile-cache state (a 2e-3 tolerance
+    # failed order-dependently in a full-suite run at -3.553 vs -3.586).
+    # The tight analytic-parity checks live in
+    # test_grads_match_reference_rate0.
+    assert got == pytest.approx(float(fd), rel=2e-2, abs=2e-2)
 
 
 def test_bf16_io():

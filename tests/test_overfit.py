@@ -2,12 +2,19 @@
 through its real CLI on the structured synthetic corpus, optimizes to its
 overfit target — not just step parity at init.  Thin wrapper over
 ``tools/overfit.py`` (one command reproduces this by hand:
-``python tools/overfit.py``); budgets/targets live there.
+``python tools/overfit.py``; single-workload invocations of the
+downstream stages need ``--pretrained``, see below).
 
 The pretrain budget is large because ITM is a cross-modal equality test
 that plateaus at chance for hundreds of steps (the REFERENCE's own torch
 CXRBERT plateaus identically on this corpus — control in DESIGN.md §9);
 it cracks only after co-trained MLM shapes class-separable features.
+For the same reason the retrieve and finetune stages MUST recover from a
+pretrain checkpoint (the reference workflow: retrieval.py:17-24,
+finetune.py:330-357) — from scratch they sit at chance forever, which is
+the documented control, not a learnable configuration.  The pretrain
+stage therefore runs ONCE as a session fixture and every downstream
+stage chains from it, exactly like the reference pipeline.
 """
 import json
 import os
@@ -21,12 +28,13 @@ pytestmark = pytest.mark.slow
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(workloads: str, tmp_path, timeout: int):
-    r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "overfit.py"),
-         "--workloads", workloads, "--root", str(tmp_path / "ov")],
-        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-        text=True, timeout=timeout)
+def _run(workloads: str, root, timeout: int, pretrained: str | None = None):
+    cmd = [sys.executable, os.path.join(REPO, "tools", "overfit.py"),
+           "--workloads", workloads, "--root", str(root)]
+    if pretrained:
+        cmd += ["--pretrained", pretrained]
+    r = subprocess.run(cmd, cwd=REPO, stdout=subprocess.PIPE,
+                       stderr=subprocess.PIPE, text=True, timeout=timeout)
     rows = [json.loads(line) for line in r.stdout.splitlines()
             if line.startswith("{")]
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
@@ -36,14 +44,26 @@ def _run(workloads: str, tmp_path, timeout: int):
     return rows
 
 
-def test_overfit_classify_retrieve(tmp_path):
-    _run("classify,retrieve", tmp_path, timeout=2400)
+@pytest.fixture(scope="session")
+def pretrain_run(tmp_path_factory):
+    """One pretrain overfit per session; downstream stages recover from
+    its checkpoint.  Returns (result rows, pretrain output dir)."""
+    root = tmp_path_factory.mktemp("overfit") / "ov"
+    rows = _run("pretrain", root, timeout=3600)
+    return rows, str(root / "pretrain")
 
 
-def test_overfit_pretrain(tmp_path):
-    rows = _run("pretrain", tmp_path, timeout=3600)
+def test_overfit_pretrain(pretrain_run):
+    rows, _ = pretrain_run
     assert rows[0]["detail"]["mlm_acc"] > 0.9, rows
 
 
-def test_overfit_finetune_decode(tmp_path):
-    _run("finetune", tmp_path, timeout=2400)
+def test_overfit_classify_retrieve(tmp_path, pretrain_run):
+    _, ckpt = pretrain_run
+    _run("classify,retrieve", tmp_path / "ov", timeout=2400,
+         pretrained=ckpt)
+
+
+def test_overfit_finetune_decode(tmp_path, pretrain_run):
+    _, ckpt = pretrain_run
+    _run("finetune", tmp_path / "ov", timeout=2400, pretrained=ckpt)

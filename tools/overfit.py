@@ -320,6 +320,13 @@ def main() -> int:
                    help="synthetic records per split (max 20)")
     p.add_argument("--epochs-scale", type=float, default=1.0,
                    help="multiply every workload's epoch budget")
+    p.add_argument("--pretrained", type=str, default=None,
+                   help="existing pretrain output dir for the retrieve/"
+                        "finetune stages to recover from (the reference "
+                        "workflow; REQUIRED for those stages to hit their "
+                        "targets unless 'pretrain' runs in the same "
+                        "invocation — scratch ITM plateaus at chance, "
+                        "DESIGN.md §9)")
     a = p.parse_args()
 
     import jax
@@ -347,8 +354,10 @@ def main() -> int:
             # pretrain run (also what makes the ITM binding learnable)
             from medvill_tpu.core import checkpoint as ckpt_lib
 
-            if ckpt_lib.latest_epoch(pretrain_out) is not None:
-                kwargs["pretrained"] = pretrain_out
+            for src in (pretrain_out, a.pretrained):
+                if src and ckpt_lib.latest_epoch(src) is not None:
+                    kwargs["pretrained"] = src
+                    break
         res = runner(data_root, os.path.join(a.root, name),
                      max(1, int(round(epochs * a.epochs_scale))), **kwargs)
         res = {"workload": name, **res,

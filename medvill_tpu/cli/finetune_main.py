@@ -505,6 +505,16 @@ def _merge_pretrain(params, restored, batch_stats=None):
             leaf = np.asarray(leaf)
             if dst_shape == leaf.shape:
                 merged[cand] = leaf
+            elif (len(cand) >= 2
+                  and cand[-2] == "token_type_embeddings"
+                  and leaf.ndim == 2 and len(dst_shape) == 2
+                  and dst_shape[1] == leaf.shape[1]):
+                # pretrain type_vocab 2 -> VLP 6: the reference seeds the
+                # new s2s segment slots from the pretrained image/text
+                # slots (model.py:650-666) — random slots here break the
+                # transferred image binding (see the helper's docstring)
+                merged[cand] = ckpt_lib.expand_token_type_embeddings(
+                    leaf, flat_dst[cand])
             elif (tile_widened and len(cand) >= 2
                   and cand[-2] in ("transform_dense", "transform_LayerNorm")
                   and leaf.ndim >= 1 and leaf.shape[-1] > 0

@@ -248,13 +248,11 @@ def load_hf_bert_into_joint(params: dict, hf_state_dict: Dict[str, Any],
             != target_pos.shape:
         imported["embeddings"] = resize_position_embeddings(
             imported["embeddings"], target_pos.shape[0])
-    # type_vocab_size can differ (vlp uses 6): copy min rows
-    src_tt = imported["embeddings"]["token_type_embeddings"]["embedding"]
-    dst_tt = np.asarray(enc["embeddings"]["token_type_embeddings"]
-                        ["embedding"]).copy()
-    rows = min(src_tt.shape[0], dst_tt.shape[0])
-    dst_tt[:rows] = src_tt[:rows]
-    imported["embeddings"]["token_type_embeddings"]["embedding"] = dst_tt
+    # type_vocab_size can differ (vlp uses 6): reference slot semantics
+    imported["embeddings"]["token_type_embeddings"]["embedding"] = \
+        expand_token_type_embeddings(
+            imported["embeddings"]["token_type_embeddings"]["embedding"],
+            enc["embeddings"]["token_type_embeddings"]["embedding"])
     if "qkv" in enc["encoder"]["layer_0"]["self"]:
         # target model runs fused QKV (BertConfig.fused_qkv): fold the
         # torch query/key/value linears into the single [H, 3H] parameter
@@ -285,6 +283,34 @@ def fuse_qkv_encoder(encoder: dict) -> dict:
                      for m in ("query", "key", "value")]),
             }}
         out[name] = layer
+    return out
+
+
+def expand_token_type_embeddings(src, dst) -> "np.ndarray":
+    """Resize a token-type embedding table from ``src`` rows onto ``dst``'s
+    row count with the REFERENCE's slot semantics
+    (sc/pytorch_pretrained_bert/model.py:650-666): common rows copy; when
+    growing a 2-type pretrain table to the VLP's >= 6 types, slots 2 (L2R),
+    3 (R2L) and 4 (S2S query) take pretrain slot 0 and slot 5 (S2S answer)
+    takes pretrain slot 1 — so an s2s finetune starts with the image block
+    (type 4) carrying the PRETRAINED image-segment embedding and the text
+    block (type 5) the pretrained text-segment embedding, preserving the
+    image/text token signatures the transferred encoder weights were
+    trained against.  (Leaving the new slots random perturbs every image
+    token by the same random vector at recover time, which measurably
+    breaks the transferred image->text binding — the overfit proof's
+    finetune stage class-collapses without this.)  Rows the reference
+    leaves as resize_() garbage (2 < n < 6) keep ``dst``'s init instead."""
+    src = np.asarray(src)
+    out = np.asarray(dst).copy()
+    rows = min(src.shape[0], out.shape[0])
+    out[:rows] = src[:rows]
+    if out.shape[0] > src.shape[0] and out.shape[0] >= 6 \
+            and src.shape[0] >= 2:
+        out[2] = src[0]
+        out[3] = src[0]
+        out[4] = src[0]
+        out[5] = src[1]
     return out
 
 

@@ -193,3 +193,53 @@ def test_finetune_cli_missing_recover_fails_loudly(tmp_path):
     ])
     with pytest.raises(FileNotFoundError, match="no orbax epoch"):
         finetune_main.main(args)
+
+
+def test_expand_token_type_embeddings_reference_slots():
+    """Pretrain type_vocab 2 -> VLP 6 follows the reference's slot copy
+    (model.py:650-666): 2/3/4 <- pretrain slot 0, 5 <- pretrain slot 1 —
+    so s2s segments start with the PRETRAINED image/text segment
+    embeddings (random slots measurably class-collapse the overfit
+    finetune stage).  Shrink truncates; equal shapes pass through."""
+    import numpy as np
+
+    from medvill_tpu.core.checkpoint import expand_token_type_embeddings
+
+    src = np.arange(2 * 4, dtype=np.float32).reshape(2, 4)
+    dst = np.full((6, 4), -1.0, np.float32)
+    out = expand_token_type_embeddings(src, dst)
+    np.testing.assert_array_equal(out[0], src[0])
+    np.testing.assert_array_equal(out[1], src[1])
+    for slot in (2, 3, 4):
+        np.testing.assert_array_equal(out[slot], src[0])
+    np.testing.assert_array_equal(out[5], src[1])
+    # shrink: truncate to dst rows
+    out2 = expand_token_type_embeddings(out, np.zeros((2, 4), np.float32))
+    np.testing.assert_array_equal(out2, out[:2])
+    # 2 < n < 6: reference leaves resize_() garbage; we keep dst's init
+    out3 = expand_token_type_embeddings(src, np.full((4, 4), 7.0,
+                                                     np.float32))
+    np.testing.assert_array_equal(out3[:2], src)
+    np.testing.assert_array_equal(out3[2:], np.full((2, 4), 7.0))
+
+
+def test_merge_pretrain_expands_token_types():
+    """The orbax pretrain->finetune recover path routes the 2-row
+    token_type table through the reference expansion instead of silently
+    leaving all 6 VLP slots random (the bug behind the finetune overfit
+    class-collapse)."""
+    import numpy as np
+
+    from medvill_tpu.cli.finetune_main import _merge_pretrain
+
+    rng = np.random.default_rng(0)
+    src_tt = rng.standard_normal((2, 4)).astype(np.float32)
+    restored = {"params": {"enc": {"embeddings": {
+        "token_type_embeddings": {"embedding": src_tt}}}}}
+    params = {"bert": {"embeddings": {
+        "token_type_embeddings": {"embedding": np.zeros((6, 4),
+                                                        np.float32)}}}}
+    merged = _merge_pretrain(params, restored)
+    got = merged["bert"]["embeddings"]["token_type_embeddings"]["embedding"]
+    np.testing.assert_array_equal(got[4], src_tt[0])
+    np.testing.assert_array_equal(got[5], src_tt[1])

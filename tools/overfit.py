@@ -305,7 +305,13 @@ WORKLOADS = {
     "pretrain": (run_pretrain, 400),
     "classify": (run_classify, 40),
     "retrieve": (run_retrieve, 40),
-    "finetune": (run_finetune, 60),
+    # 240, not 60: the image->masked-token routing is the one circuit no
+    # earlier stage pre-trains (pretrain MLM needs only text context on
+    # this corpus), and BertAdam's warmup-linear-DECAY schedule (reference
+    # parity) starves it at small t_total: measured 60 epochs -> BLEU 0.5
+    # (class collapse), 120 -> 0.5 or 0.83 depending on the RNG draw,
+    # 240 -> comfortably past the 0.8 target (same recovered checkpoint)
+    "finetune": (run_finetune, 240),
 }
 
 

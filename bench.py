@@ -743,20 +743,18 @@ def bench_all() -> None:
 
     1. the headline pretrain metric runs FIRST (own bounded subprocess)
        and its JSON line prints immediately;
-    2. optional sub-modes (greedy decode, finetune) each run in a bounded
-       subprocess, gated on a global wall-clock budget
-       (MEDVILL_BENCH_BUDGET seconds, default 1100 — sized under the
-       driver's observed outer timeout) and on warm-cache markers: a
-       sub-mode whose XLA program never reached the persistent cache only
-       runs when enough budget remains to pay a cold remote-tunnel
-       compile;
+    2. the five sub-modes (greedy decode, finetune, classification,
+       retrieval, beam-4 decode) run IN-PROCESS sequentially — one shared
+       backend init instead of five ~280s per-subprocess tunnel inits —
+       gated on a global wall-clock budget (MEDVILL_BENCH_BUDGET seconds,
+       default 1100 — sized under the driver's observed outer timeout)
+       and on warm-cache markers: a sub-mode whose XLA program never
+       reached the persistent cache only runs when enough budget remains
+       to pay a cold remote-tunnel compile;
     3. the headline line is RE-printed after every sub-mode line and once
        more at the end — a driver kill at any instant still leaves the
-       headline as the last complete JSON line on stdout.
-
-    Beam-4 decode (`python bench.py decode 8 3 4`, the mode behind the
-    reference's published BLEU) joins the sub-mode list through the same
-    cold-compile gate."""
+       headline as the last complete JSON line on stdout, with every
+       completed sub-mode line above it."""
     import os
 
     budget = float(os.environ.get("MEDVILL_BENCH_BUDGET", "1100"))
@@ -793,24 +791,56 @@ def bench_all() -> None:
 
     # -- optional sub-modes, budget- and cache-gated: ALL remaining
     # reference workloads (SURVEY §6 config points) — greedy decode,
-    # finetune, beam-4 decode, MMBT classification, ITM retrieval
+    # finetune, MMBT classification, ITM retrieval, beam-4 decode.
+    # They run IN-PROCESS, sequentially (the chip is free once the
+    # headline subprocess exits): a warm sub-mode's wall time through the
+    # remote tunnel was dominated by per-subprocess TPU backend init
+    # (~280s each measured, only ~19s of CPU) — six subprocesses can
+    # never fit the default budget, while one shared backend init plus
+    # cache loads fits all five.  A pathological in-process hang has no
+    # per-sub-mode kill, but the headline has already printed and is
+    # re-printed after every line, so the driver's outer kill still
+    # records every completed line.  Ordering: one unique WORKLOAD per
+    # line first, the beam-4 sub-mode (same workload as the greedy line)
+    # last — if the budget gate must drop something, it drops that.
+    import contextlib
+    import gc
+    import io
+
+    def run_inproc(argv):
+        fns = {
+            "decode": lambda a: bench_decode(
+                int(a[1]), int(a[2]), int(a[3]) if len(a) > 3 else 1),
+            "finetune": lambda a: bench_finetune(int(a[1]), int(a[2])),
+            "classify": lambda a: bench_classify(int(a[1]), int(a[2]),
+                                                 int(a[3])),
+            "retrieve": lambda a: bench_retrieve(int(a[1]), int(a[2]),
+                                                 int(a[3])),
+        }
+        buf = io.StringIO()
+        try:
+            with contextlib.redirect_stdout(buf):
+                fns[argv[0]](argv)
+        except BaseException as e:  # noqa: BLE001 — keep the record alive
+            return None, repr(e) + "\n" + buf.getvalue()[-1000:]
+        return _last_json_line(buf.getvalue(), '"metric"'), ""
+
     for argv in (["decode", "32", "2"], ["finetune", "16", "6"],
-                 ["decode", "8", "2", "4"], ["classify", "24", "8", "10"],
-                 ["retrieve", "24", "8", "60"]):
+                 ["classify", "24", "8", "10"],
+                 ["retrieve", "24", "8", "60"], ["decode", "8", "2", "4"]):
         warm = os.path.exists(_warm_marker_path(argv))
-        # a warm run needs backend init + cache loads + dispatch (measured
-        # per-sub-mode in DESIGN.md §10; 240s bounds the worst observed
-        # with tunnel margin); a cold one pays a remote XLA compile on top
-        need = 240.0 if warm else 800.0
+        # warm in-process: cache load + dispatch only (the shared backend
+        # init is paid once by the first sub-mode); a cold one pays a
+        # remote XLA compile on top
+        need = 150.0 if warm else 800.0
         if remaining() < need:
             print("bench: skipping sub-mode %s (%s cache, %.0fs left < "
                   "%.0fs needed)" % (" ".join(argv),
                                      "warm" if warm else "cold",
                                      remaining(), need), file=sys.stderr)
             continue
-        rc, out, err = _run_submode(argv, remaining() - 60.0)
-        line = _last_json_line(out, '"metric"')
-        if rc == 0 and line:
+        line, err = run_inproc(argv)
+        if line:
             emit(line)
             emit_headline()   # keep the headline the LAST json line
             try:
@@ -818,8 +848,9 @@ def bench_all() -> None:
             except OSError:
                 pass
         else:
-            print("bench sub-mode %s rc=%d:\n%s"
-                  % (" ".join(argv), rc, err), file=sys.stderr)
+            print("bench sub-mode %s failed:\n%s"
+                  % (" ".join(argv), err), file=sys.stderr)
+        gc.collect()   # free the sub-mode's device buffers before the next
 
     # -- last resort: no headline captured yet -> run in-process (the chip
     # is free again; an outer kill mid-run loses nothing that the

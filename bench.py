@@ -774,20 +774,39 @@ def bench_all() -> None:
         if headline:
             emit(headline)
 
-    # -- headline pretrain first: give it whatever it needs (a cold
-    # batch-48 k60 compile measured 5-9 min through the remote tunnel)
-    rc, out, err = _run_submode(
-        ["pretrain"], max(120.0, min(1000.0, remaining() - 30.0)))
-    headline = _last_json_line(out, "pretrain_pairs_per_sec_per_chip")
+    # -- headline pretrain first.  Warm (marker present): run it
+    # IN-PROCESS — the same shared-backend-init saving as the sub-modes
+    # below (~100-150s, measured), which is what lets all six lines fit
+    # the default budget.  Cold: its own bounded subprocess, so a 5-9 min
+    # remote-tunnel compile that overruns can be killed without losing
+    # the process (the in-process last-resort at the end still fires).
+    headline_warm = os.path.exists(_warm_marker_path(["pretrain"]))
+    if headline_warm:
+        import contextlib as _ctx
+        import io as _io
+
+        buf = _io.StringIO()
+        try:
+            with _ctx.redirect_stdout(buf):
+                bench_pretrain()
+        except BaseException as e:  # noqa: BLE001
+            print(f"bench: in-process headline failed: {e!r}",
+                  file=sys.stderr)
+        headline = _last_json_line(buf.getvalue(),
+                                   "pretrain_pairs_per_sec_per_chip")
+    else:
+        rc, out, err = _run_submode(
+            ["pretrain"], max(120.0, min(1000.0, remaining() - 30.0)))
+        headline = _last_json_line(out, "pretrain_pairs_per_sec_per_chip")
+        if not headline:
+            print(f"bench: headline pretrain subprocess rc={rc}:\n{err}",
+                  file=sys.stderr)
     if headline:
         emit_headline()
         try:
             open(_warm_marker_path(["pretrain"]), "w").close()
         except OSError:
             pass
-    else:
-        print(f"bench: headline pretrain subprocess rc={rc}:\n{err}",
-              file=sys.stderr)
 
     # -- optional sub-modes, budget- and cache-gated: ALL remaining
     # reference workloads (SURVEY §6 config points) — greedy decode,
